@@ -1,0 +1,210 @@
+"""LA-denoiser: length-conforming latent diffusion transformer.
+
+TPU-native rebuild of
+/root/reference/src/ladiff/models/architectures/ladiff_denoiser.py:16-295.
+
+Behavioral contract:
+  * Input latents [B, MAX_IT, 256]; per-sample latent-row validity mask
+    threaded through every attention layer (ladiff_denoiser.py:164-171).
+  * Sinusoidal timestep embedding at ``text_encoded_dim`` (768), projected
+    by a Linear-SiLU-Linear MLP to 256 (ladiff_denoiser.py:65-68,184-188).
+  * Text conditioning: pooled CLIP features projected ReLU+Linear(768->256)
+    (ladiff_denoiser.py:70-73,196-200).
+  * Two wirings: the released ``MD_TRANS`` stylization path (skip encoder
+    over MDTransformerLayer; ladiff_denoiser.py:246-255) and the plain path
+    (concat [latents; time; text] through the vanilla skip encoder with no
+    padding mask; ladiff_denoiser.py:229-259).
+  * Optional autoregressive conditioning tokens ``enclat`` concatenated to
+    the latent stream (ladiff_denoiser.py:229-248).
+  * Action conditioning via a learned per-class embedding table with
+    CFG-style unconditional masking (EmbedAction, ladiff_denoiser.py:298-346).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ladiff_tpu.ops.embeddings import (
+    PositionEmbeddingLearned1D,
+    PositionEmbeddingSine1D,
+    TimestepEmbedding,
+    timestep_embedding,
+)
+from ladiff_tpu.ops.stylization import MDSkipTransformerEncoder
+from ladiff_tpu.ops.transformer import SkipTransformerEncoder
+
+__all__ = ["LADenoiser", "EmbedAction"]
+
+
+class EmbedAction(nn.Module):
+    """Learned action-class embedding with unconditional drop for CFG
+    (reference: ladiff_denoiser.py:298-346)."""
+
+    num_actions: int
+    latent_dim: int
+    guidance_uncondp: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, action_ids: jax.Array, *, force_mask: bool = False,
+                 deterministic: bool = True,
+                 rng: Optional[jax.Array] = None) -> jax.Array:
+        table = self.param("action_embedding",
+                           nn.initializers.xavier_uniform(),
+                           (self.num_actions, self.latent_dim))
+        out = table[action_ids.astype(jnp.int32)].astype(self.dtype)
+        if force_mask:
+            return jnp.zeros_like(out)
+        if not deterministic and self.guidance_uncondp > 0.0:
+            assert rng is not None
+            drop = jax.random.bernoulli(rng, self.guidance_uncondp,
+                                        (out.shape[0], 1))
+            out = out * (1.0 - drop.astype(out.dtype))
+        return out
+
+
+class LADenoiser(nn.Module):
+    nfeats: int = 263
+    condition: str = "text"
+    latent_dim: Sequence[int] = (7, 256)
+    ff_size: int = 1024
+    num_layers: int = 9
+    num_heads: int = 4
+    dropout: float = 0.1
+    normalize_before: bool = False
+    activation: str = "gelu"
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+    position_embedding: str = "learned"
+    arch: str = "trans_enc"
+    text_encoded_dim: int = 768
+    nclasses: int = 10
+    guidance_uncondp: float = 0.1
+    # ablation block
+    skip_connect: bool = True
+    md_trans: bool = True
+    diffusion_only: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def d_model(self) -> int:
+        return int(self.latent_dim[-1])
+
+    def setup(self):
+        D = self.d_model
+        if self.condition in ("text", "text_uncond"):
+            self.time_embedding = TimestepEmbedding(D, dtype=self.dtype,
+                                                    name="time_embedding")
+            if self.text_encoded_dim != D:
+                self.emb_proj = nn.Dense(D, dtype=self.dtype, name="emb_proj_1")
+        elif self.condition == "action":
+            self.time_embedding = TimestepEmbedding(D, dtype=self.dtype,
+                                                    name="time_embedding")
+            self.action_emb = EmbedAction(self.nclasses, D,
+                                          self.guidance_uncondp,
+                                          dtype=self.dtype, name="emb_proj")
+        else:
+            raise ValueError(f"condition {self.condition} not supported")
+
+        if self.diffusion_only:
+            self.pose_embd = nn.Dense(D, dtype=self.dtype, name="pose_embd")
+            self.pose_proj = nn.Dense(self.nfeats, dtype=self.dtype,
+                                      name="pose_proj")
+
+        if self.position_embedding == "learned":
+            self.query_pos = PositionEmbeddingLearned1D(D, dtype=self.dtype,
+                                                        name="query_pos")
+        else:
+            self.query_pos = PositionEmbeddingSine1D(D, dtype=self.dtype,
+                                                     name="query_pos")
+
+        if self.arch != "trans_enc":
+            raise ValueError(f"arch {self.arch} not supported (trans_enc only)")
+        if self.md_trans:
+            self.encoder = MDSkipTransformerEncoder(
+                D, D, self.num_heads, self.num_layers, self.ff_size,
+                self.dropout, dtype=self.dtype, name="encoder")
+        else:
+            self.encoder = SkipTransformerEncoder(
+                D, self.num_heads, self.num_layers, self.ff_size, self.dropout,
+                self.activation, self.normalize_before, dtype=self.dtype,
+                name="encoder")
+
+    def __call__(
+        self,
+        sample: jax.Array,                 # [B, n_lat, D] noisy latents
+        timesteps: jax.Array,              # [B] int
+        encoder_hidden_states: jax.Array,  # [B, N, 768] text emb (or [B] ids)
+        latent_valid: Optional[jax.Array] = None,  # [B, n_lat] bool
+        enclat: Optional[jax.Array] = None,        # [B, n_cond, D]
+        frame_valid: Optional[jax.Array] = None,   # diffusion-only path
+        deterministic: bool = True,
+    ) -> jax.Array:
+        B, n_lat, _ = sample.shape
+        sample = sample.astype(self.dtype)
+
+        # 1. time embedding: sinusoid at text_encoded_dim -> MLP -> D
+        sin_dim = (self.text_encoded_dim
+                   if self.condition in ("text", "text_uncond")
+                   else self.d_model)
+        t_emb = timestep_embedding(
+            timesteps, sin_dim,
+            flip_sin_to_cos=self.flip_sin_to_cos,
+            downscale_freq_shift=float(self.freq_shift)).astype(self.dtype)
+        time_emb = self.time_embedding(t_emb)  # [B, D]
+
+        # 2. condition embedding
+        if self.condition in ("text", "text_uncond"):
+            text = encoder_hidden_states.astype(self.dtype)
+            if self.text_encoded_dim != self.d_model:
+                text_emb_latent = self.emb_proj(nn.relu(text))
+            else:
+                text_emb_latent = text  # [B, N, D]
+        else:
+            rng = (self.make_rng("cond_drop")
+                   if not deterministic else None)
+            text_emb_latent = self.action_emb(
+                encoder_hidden_states, deterministic=deterministic,
+                rng=rng)[:, None, :]
+
+        if self.diffusion_only:
+            sample = self.pose_embd(sample)
+
+        if enclat is not None:
+            stream = jnp.concatenate([sample, enclat.astype(self.dtype)], axis=1)
+            if latent_valid is not None:
+                cond_valid = jnp.ones((B, enclat.shape[1]), dtype=bool)
+                stream_valid = jnp.concatenate([latent_valid, cond_valid], axis=1)
+            else:
+                stream_valid = None
+        else:
+            stream = sample
+            stream_valid = latent_valid
+
+        if self.md_trans:
+            xseq = self.query_pos(stream)
+            tokens = self.encoder(xseq, text_emb_latent, time_emb,
+                                  stream_valid, deterministic=deterministic)
+            out = tokens[:, :n_lat]
+        else:
+            # plain concat path: [latents(+enclat); time; text] tokens, no
+            # padding mask (reference: ladiff_denoiser.py:258-259 passes none)
+            emb_tokens = jnp.concatenate(
+                [time_emb[:, None, :], text_emb_latent], axis=1)
+            if self.diffusion_only:
+                xseq = jnp.concatenate([emb_tokens, stream], axis=1)
+            else:
+                xseq = jnp.concatenate([stream, emb_tokens], axis=1)
+            xseq = self.query_pos(xseq)
+            tokens = self.encoder(xseq, None, deterministic=deterministic)
+            if self.diffusion_only:
+                out = tokens[:, emb_tokens.shape[1]:]
+                out = self.pose_proj(out)
+                if frame_valid is not None:
+                    out = jnp.where(frame_valid[:, :, None], out, 0.0)
+                return out
+            out = tokens[:, :n_lat]
+        return out

@@ -1,0 +1,110 @@
+"""Masked multi-head attention for TPU.
+
+Functional core used by every transformer block in the framework.  The
+reference uses ``torch.nn.MultiheadAttention`` throughout
+(/root/reference/src/ladiff/models/operator/cross_attention.py:271,337-338);
+here attention is a single fused einsum pipeline over batch-first, static
+shapes so XLA can tile it onto the MXU.  Padding is expressed with boolean
+key-validity masks (True = attend) instead of dynamic shapes.
+
+Parameter layout note: torch packs q/k/v into one ``in_proj_weight``; we keep
+three Dense layers (``q_proj``/``k_proj``/``v_proj``).  The checkpoint
+converter splits the torch weight three ways (rows 0:D, D:2D, 2D:3D).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["MultiHeadAttention", "masked_attention"]
+
+_NEG_INF = -1e9  # large finite negative: keeps softmax numerics safe in bf16
+
+
+def masked_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_valid: Optional[jax.Array] = None,
+    *,
+    num_heads: int,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    return_weights: bool = False,
+):
+    """Scaled dot-product attention over batch-first tensors.
+
+    Args:
+      q: [B, Sq, D]; k, v: [B, Sk, D] (already projected).
+      key_valid: [B, Sk] bool, True where the key may be attended to.
+    Returns [B, Sq, D] (and optionally head-averaged weights [B, Sq, Sk]).
+    """
+    B, Sq, D = q.shape
+    Sk = k.shape[1]
+    H = num_heads
+    Dh = D // H
+    qh = q.reshape(B, Sq, H, Dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, Sk, H, Dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, Sk, H, Dh).transpose(0, 2, 1, 3)
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, dtype=jnp.float32)).astype(q.dtype)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh,
+                        preferred_element_type=jnp.float32)
+    if key_valid is not None:
+        mask = key_valid[:, None, None, :]
+        logits = jnp.where(mask, logits, _NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(B, Sq, D)
+    if return_weights:
+        return out, weights.mean(axis=1)
+    return out
+
+
+class MultiHeadAttention(nn.Module):
+    """Batch-first equivalent of ``torch.nn.MultiheadAttention``."""
+
+    d_model: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,
+        key: jax.Array,
+        value: jax.Array,
+        key_valid: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        return_weights: bool = False,
+    ):
+        D = self.d_model
+        q = nn.Dense(D, dtype=self.dtype, name="q_proj")(query)
+        k = nn.Dense(D, dtype=self.dtype, name="k_proj")(key)
+        v = nn.Dense(D, dtype=self.dtype, name="v_proj")(value)
+        rng = None
+        if self.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+        out = masked_attention(
+            q, k, v, key_valid,
+            num_heads=self.num_heads,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
+            dropout_rng=rng,
+            return_weights=return_weights,
+        )
+        if return_weights:
+            out, weights = out
+        out = nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+        if return_weights:
+            return out, weights
+        return out

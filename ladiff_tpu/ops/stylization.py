@@ -1,0 +1,213 @@
+"""MotionDiffuse-style stylization layers (the ``MD_TRANS`` denoiser path).
+
+TPU-native rebuild of
+/root/reference/src/ladiff/models/architectures/mdiff_transformer.py:137-321:
+AdaLN-like ``StylizationBlock`` (scale/shift from the time embedding),
+softmax-linear cross attention between latents and text, and the composed
+decoder layer (self-attn over [latents; text; time], linear cross-attn, FFN)
+that the released LADiff config wires into the skip encoder
+(config_ladiff_humanml3d.yaml: ``MD_TRANS: True``).
+
+Everything is batch-first over static shapes; the per-sample latent mask is
+a boolean array threaded through attention, not a Python loop.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ladiff_tpu.ops.transformer import TransformerEncoderLayer
+
+__all__ = [
+    "StylizationBlock",
+    "LinearTemporalCrossAttention",
+    "StylizedFFN",
+    "MDTransformerLayer",
+    "MDSkipTransformerEncoder",
+]
+
+zero_init = nn.initializers.zeros_init()
+
+
+class StylizationBlock(nn.Module):
+    """h <- zero_linear(silu(dropout(norm(h)*(1+scale)+shift)))
+    with (scale, shift) from the time embedding
+    (reference: mdiff_transformer.py:137-163)."""
+
+    latent_dim: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jax.Array, emb: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        # emb: [B, D_time]
+        emb_out = nn.Dense(2 * self.latent_dim, dtype=self.dtype,
+                           name="emb_layers_1")(nn.silu(emb))
+        scale, shift = jnp.split(emb_out[:, None, :], 2, axis=2)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h) * (1 + scale) + shift
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.latent_dim, dtype=self.dtype, kernel_init=zero_init,
+                     bias_init=zero_init, name="out_layers_2")(h)
+        return h
+
+
+class LinearTemporalCrossAttention(nn.Module):
+    """Softmax-linear attention latents <-> text with latent-row masking
+    (reference: mdiff_transformer.py:206-247)."""
+
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,            # [B, T, D] latents
+        xf: jax.Array,           # [B, N, D_text] text tokens
+        emb: jax.Array,          # [B, D_time]
+        latent_valid: Optional[jax.Array] = None,  # [B, T] bool
+        deterministic: bool = True,
+    ) -> jax.Array:
+        B, T, D = x.shape
+        N = xf.shape[1]
+        H = self.num_heads
+        xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        tn = nn.LayerNorm(dtype=self.dtype, name="text_norm")(xf)
+        query = nn.Dense(D, dtype=self.dtype, name="query")(xn)
+        key = nn.Dense(D, dtype=self.dtype, name="key")(tn)
+        value = nn.Dense(D, dtype=self.dtype, name="value")(tn)
+        query = jax.nn.softmax(query.reshape(B, T, H, -1), axis=-1)
+        key = jax.nn.softmax(key.reshape(B, N, H, -1), axis=1)
+        value = value.reshape(B, N, H, -1)
+        # [B, H, Dh, Dh] context; then project queries through it.
+        attention = jnp.einsum("bnhd,bnhl->bhdl", key, value,
+                               preferred_element_type=jnp.float32).astype(x.dtype)
+        if latent_valid is not None:
+            query = query * latent_valid[:, :, None, None].astype(query.dtype)
+        y = jnp.einsum("bnhd,bhdl->bnhl", query, attention,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y.reshape(B, T, D)
+        y = StylizationBlock(self.latent_dim, self.dropout, dtype=self.dtype,
+                             name="proj_out")(y, emb, deterministic=deterministic)
+        return x + y
+
+
+class StylizedFFN(nn.Module):
+    """GELU FFN with zero-init second linear and stylized output
+    (reference: mdiff_transformer.py:249-262)."""
+
+    latent_dim: int
+    ffn_dim: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.Dense(self.latent_dim, dtype=self.dtype, kernel_init=zero_init,
+                     bias_init=zero_init, name="linear2")(y)
+        y = StylizationBlock(self.latent_dim, self.dropout, dtype=self.dtype,
+                             name="proj_out")(y, emb, deterministic=deterministic)
+        return x + y
+
+
+class MDTransformerLayer(nn.Module):
+    """Composed layer: vanilla self-attn over [latents; text; time] tokens,
+    then linear cross-attn and stylized FFN
+    (reference: LinearTemporalDiffusionTransformerDecoderLayer,
+    mdiff_transformer.py:265-321, with ``use_MLD_Transformer=True``)."""
+
+    d_model: int
+    text_latent_dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,             # [B, T, D]
+        xf: jax.Array,            # [B, N, D]
+        emb: jax.Array,           # [B, D] time embedding
+        latent_valid: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        B, T, _ = x.shape
+        # self-attention over [latents; text; time] with 2 always-valid extras
+        # (reference hardcodes ff=1024 + relu for this inner block,
+        #  mdiff_transformer.py:287-288)
+        tokens = jnp.concatenate([x, xf, emb[:, None, :]], axis=1)
+        if latent_valid is not None:
+            extra = jnp.ones((B, tokens.shape[1] - T), dtype=bool)
+            valid = jnp.concatenate([latent_valid, extra], axis=1)
+        else:
+            valid = None
+        sa = TransformerEncoderLayer(
+            self.d_model, self.num_heads, 1024, self.dropout, "relu", False,
+            dtype=self.dtype, name="sa_block")
+        x = sa(tokens, valid, deterministic=deterministic)[:, :T]
+        x = LinearTemporalCrossAttention(
+            self.d_model, self.text_latent_dim, self.num_heads, self.dropout,
+            dtype=self.dtype, name="ca_block")(
+                x, xf, emb, latent_valid, deterministic=deterministic)
+        x = StylizedFFN(self.d_model, self.ffn_dim, self.dropout,
+                        dtype=self.dtype, name="ffn")(
+                            x, emb, deterministic=deterministic)
+        return x
+
+
+class MDSkipTransformerEncoder(nn.Module):
+    """Skip (U-Net) encoder over MD layers — the ``MD_trans=True`` branch of
+    the reference skip encoder (cross_attention.py:69-86)."""
+
+    d_model: int
+    text_latent_dim: int
+    num_heads: int
+    num_layers: int
+    ffn_dim: int = 1024
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.num_layers % 2 == 1
+        num_block = (self.num_layers - 1) // 2
+        mk = lambda name: MDTransformerLayer(
+            self.d_model, self.text_latent_dim, self.ffn_dim, self.num_heads,
+            self.dropout, dtype=self.dtype, name=name)
+        self.input_blocks = [mk(f"input_blocks_{i}") for i in range(num_block)]
+        self.middle_block = mk("middle_block")
+        self.output_blocks = [mk(f"output_blocks_{i}") for i in range(num_block)]
+        self.linear_blocks = [
+            nn.Dense(self.d_model, dtype=self.dtype, name=f"linear_blocks_{i}")
+            for i in range(num_block)
+        ]
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+
+    def __call__(
+        self,
+        x: jax.Array,
+        xf: jax.Array,
+        emb: jax.Array,
+        latent_valid: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        xs = []
+        for block in self.input_blocks:
+            x = block(x, xf, emb, latent_valid, deterministic=deterministic)
+            xs.append(x)
+        x = self.middle_block(x, xf, emb, latent_valid, deterministic=deterministic)
+        for block, linear in zip(self.output_blocks, self.linear_blocks):
+            x = linear(jnp.concatenate([x, xs.pop()], axis=-1))
+            x = block(x, xf, emb, latent_valid, deterministic=deterministic)
+        return self.norm(x)

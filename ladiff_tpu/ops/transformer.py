@@ -1,0 +1,270 @@
+"""DETR-style transformer blocks with U-Net skip connections.
+
+TPU-native rebuild of the reference operator layer
+(/root/reference/src/ladiff/models/operator/cross_attention.py:19-450):
+post-norm encoder/decoder layers and the Skip encoder/decoder that pops
+(L-1)/2 saved activations through ``Linear(2D -> D)`` fusion blocks.
+
+Differences from the reference, by design:
+  * batch-first [B, S, D] everywhere (XLA-friendly layout),
+  * padding via boolean ``key_valid`` masks, never dynamic shapes,
+  * exact (erf) GELU to match ``torch.nn.functional.gelu``.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ladiff_tpu.ops.attention import MultiHeadAttention
+
+__all__ = [
+    "TransformerEncoderLayer",
+    "TransformerDecoderLayer",
+    "SkipTransformerEncoder",
+    "SkipTransformerDecoder",
+]
+
+
+def get_activation(name: str) -> Callable[[jax.Array], jax.Array]:
+    if name == "relu":
+        return nn.relu
+    if name == "gelu":
+        return lambda x: nn.gelu(x, approximate=False)
+    if name == "glu":
+        return nn.glu
+    raise ValueError(f"activation should be relu/gelu/glu, not {name}")
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm (default) or pre-norm encoder layer
+    (reference: cross_attention.py:264-329)."""
+
+    d_model: int
+    num_heads: int
+    ff_size: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        src: jax.Array,
+        key_valid: Optional[jax.Array] = None,
+        pos: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        attn = MultiHeadAttention(self.d_model, self.num_heads, self.dropout,
+                                  dtype=self.dtype, name="self_attn")
+        linear1 = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")
+        linear2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        act = get_activation(self.activation)
+        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        def with_pos(x):
+            return x if pos is None else x + pos
+
+        if self.normalize_before:
+            x2 = norm1(src)
+            qk = with_pos(x2)
+            x2 = attn(qk, qk, x2, key_valid, deterministic=deterministic)
+            src = src + drop(x2)
+            x2 = norm2(src)
+            x2 = linear2(drop(act(linear1(x2))))
+            return src + drop(x2)
+        qk = with_pos(src)
+        x2 = attn(qk, qk, src, key_valid, deterministic=deterministic)
+        src = norm1(src + drop(x2))
+        x2 = linear2(drop(act(linear1(src))))
+        return norm2(src + drop(x2))
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Post-norm decoder layer: self-attn over queries, cross-attn into
+    memory, FFN (reference: cross_attention.py:332-450)."""
+
+    d_model: int
+    num_heads: int
+    ff_size: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt: jax.Array,
+        memory: jax.Array,
+        tgt_key_valid: Optional[jax.Array] = None,
+        memory_key_valid: Optional[jax.Array] = None,
+        pos: Optional[jax.Array] = None,
+        query_pos: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        return_cross_weights: bool = False,
+    ):
+        self_attn = MultiHeadAttention(self.d_model, self.num_heads, self.dropout,
+                                       dtype=self.dtype, name="self_attn")
+        cross_attn = MultiHeadAttention(self.d_model, self.num_heads, self.dropout,
+                                        dtype=self.dtype, name="multihead_attn")
+        linear1 = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")
+        linear2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
+        act = get_activation(self.activation)
+        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        def with_pos(x, p):
+            return x if p is None else x + p
+
+        cross_weights = None
+        if self.normalize_before:
+            x2 = norm1(tgt)
+            qk = with_pos(x2, query_pos)
+            x2 = self_attn(qk, qk, x2, tgt_key_valid, deterministic=deterministic)
+            tgt = tgt + drop(x2)
+            x2 = norm2(tgt)
+            x2 = cross_attn(with_pos(x2, query_pos), with_pos(memory, pos), memory,
+                            memory_key_valid, deterministic=deterministic)
+            tgt = tgt + drop(x2)
+            x2 = norm3(tgt)
+            x2 = linear2(drop(act(linear1(x2))))
+            tgt = tgt + drop(x2)
+        else:
+            qk = with_pos(tgt, query_pos)
+            x2 = self_attn(qk, qk, tgt, tgt_key_valid, deterministic=deterministic)
+            tgt = norm1(tgt + drop(x2))
+            out = cross_attn(with_pos(tgt, query_pos), with_pos(memory, pos), memory,
+                             memory_key_valid, deterministic=deterministic,
+                             return_weights=return_cross_weights)
+            if return_cross_weights:
+                x2, cross_weights = out
+            else:
+                x2 = out
+            tgt = norm2(tgt + drop(x2))
+            x2 = linear2(drop(act(linear1(tgt))))
+            tgt = norm3(tgt + drop(x2))
+        if return_cross_weights:
+            return tgt, cross_weights
+        return tgt
+
+
+class SkipTransformerEncoder(nn.Module):
+    """U-Net style encoder: (L-1)/2 input blocks, middle block, (L-1)/2
+    output blocks with Linear(2D->D) skip fusion, final LayerNorm
+    (reference: cross_attention.py:19-88)."""
+
+    d_model: int
+    num_heads: int
+    num_layers: int
+    ff_size: int = 1024
+    dropout: float = 0.1
+    activation: str = "gelu"
+    normalize_before: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.num_layers % 2 == 1, "skip encoder needs odd layer count"
+        num_block = (self.num_layers - 1) // 2
+        mk = lambda name: TransformerEncoderLayer(
+            self.d_model, self.num_heads, self.ff_size, self.dropout,
+            self.activation, self.normalize_before, dtype=self.dtype, name=name)
+        self.input_blocks = [mk(f"input_blocks_{i}") for i in range(num_block)]
+        self.middle_block = mk("middle_block")
+        self.output_blocks = [mk(f"output_blocks_{i}") for i in range(num_block)]
+        self.linear_blocks = [
+            nn.Dense(self.d_model, dtype=self.dtype, name=f"linear_blocks_{i}")
+            for i in range(num_block)
+        ]
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+
+    def __call__(
+        self,
+        src: jax.Array,
+        key_valid: Optional[jax.Array] = None,
+        pos: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        x = src
+        xs = []
+        for block in self.input_blocks:
+            x = block(x, key_valid, pos, deterministic=deterministic)
+            xs.append(x)
+        x = self.middle_block(x, key_valid, pos, deterministic=deterministic)
+        for block, linear in zip(self.output_blocks, self.linear_blocks):
+            x = linear(jnp.concatenate([x, xs.pop()], axis=-1))
+            x = block(x, key_valid, pos, deterministic=deterministic)
+        return self.norm(x)
+
+
+class SkipTransformerDecoder(nn.Module):
+    """Skip decoder: same U-Net wiring over decoder layers cross-attending to
+    a memory (reference: cross_attention.py:90-153)."""
+
+    d_model: int
+    num_heads: int
+    num_layers: int
+    ff_size: int = 1024
+    dropout: float = 0.1
+    activation: str = "gelu"
+    normalize_before: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.num_layers % 2 == 1, "skip decoder needs odd layer count"
+        num_block = (self.num_layers - 1) // 2
+        mk = lambda name: TransformerDecoderLayer(
+            self.d_model, self.num_heads, self.ff_size, self.dropout,
+            self.activation, self.normalize_before, dtype=self.dtype, name=name)
+        self.input_blocks = [mk(f"input_blocks_{i}") for i in range(num_block)]
+        self.middle_block = mk("middle_block")
+        self.output_blocks = [mk(f"output_blocks_{i}") for i in range(num_block)]
+        self.linear_blocks = [
+            nn.Dense(self.d_model, dtype=self.dtype, name=f"linear_blocks_{i}")
+            for i in range(num_block)
+        ]
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+
+    def __call__(
+        self,
+        tgt: jax.Array,
+        memory: jax.Array,
+        tgt_key_valid: Optional[jax.Array] = None,
+        memory_key_valid: Optional[jax.Array] = None,
+        pos: Optional[jax.Array] = None,
+        query_pos: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        return_cross_weights: bool = False,
+    ):
+        x = tgt
+        xs = []
+        all_weights = []
+
+        def run(block, x):
+            out = block(x, memory, tgt_key_valid, memory_key_valid, pos,
+                        query_pos, deterministic=deterministic,
+                        return_cross_weights=return_cross_weights)
+            if return_cross_weights:
+                x, w = out
+                all_weights.append(w)
+                return x
+            return out
+
+        for block in self.input_blocks:
+            x = run(block, x)
+            xs.append(x)
+        x = run(self.middle_block, x)
+        for block, linear in zip(self.output_blocks, self.linear_blocks):
+            x = linear(jnp.concatenate([x, xs.pop()], axis=-1))
+            x = run(block, x)
+        x = self.norm(x)
+        if return_cross_weights:
+            return x, all_weights
+        return x
