@@ -1,0 +1,91 @@
+"""Training losses.
+
+TPU-native rebuild of /root/reference/src/ladiff/models/losses/mld.py:10-179.
+The reference wraps torchmetrics state; here losses are pure functions
+returning (total, dict-of-scalars) so they jit cleanly and aggregate across
+the data mesh with a plain ``jnp.mean`` (the psum is inserted by XLA under
+pjit).  Semantics preserved:
+  * stage "vae": SmoothL1 on features + recovered joints, KL vs N(0,1)
+    (computed over ALL latent rows, including inactive ones, matching the
+    reference's full-tensor ``KLLoss``),
+  * stage "diffusion": MSE epsilon prediction (``inst_loss``) or x0
+    prediction (``x_loss``),
+  * weighting via LAMBDA_REC / LAMBDA_JOINT / LAMBDA_KL (losses/mld.py:77-96).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["smooth_l1", "kl_normal_standard", "LossWeights",
+           "vae_loss", "diffusion_loss"]
+
+
+def smooth_l1(pred: jax.Array, target: jax.Array, beta: float = 1.0) -> jax.Array:
+    """torch.nn.SmoothL1Loss(reduction='mean'), beta=1.0."""
+    diff = jnp.abs(pred - target)
+    loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+    return jnp.mean(loss)
+
+
+def kl_normal_standard(mu: jax.Array, logvar: jax.Array) -> jax.Array:
+    """mean KL(N(mu, sigma) || N(0, 1)) elementwise
+    (torch.distributions.kl_divergence followed by .mean())."""
+    return jnp.mean(0.5 * (jnp.exp(logvar) + mu ** 2 - 1.0 - logvar))
+
+
+@dataclasses.dataclass(frozen=True)
+class LossWeights:
+    lambda_rec: float = 1.0
+    lambda_joint: float = 1.0
+    lambda_kl: float = 1.0e-4
+    lambda_gen: float = 1.0
+    lambda_prior: float = 0.0
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "LossWeights":
+        L = cfg.LOSS
+        return cls(
+            lambda_rec=float(L.get("LAMBDA_REC", 1.0)),
+            lambda_joint=float(L.get("LAMBDA_JOINT", 1.0)),
+            lambda_kl=float(L.get("LAMBDA_KL", 1.0e-4)),
+            lambda_gen=float(L.get("LAMBDA_GEN", 1.0)),
+            lambda_prior=float(L.get("LAMBDA_PRIOR", 0.0)),
+        )
+
+
+def vae_loss(
+    feats_rst: jax.Array, feats_ref: jax.Array,
+    joints_rst: jax.Array, joints_ref: jax.Array,
+    mu: jax.Array, logvar: jax.Array,
+    weights: LossWeights,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    recons_feature = smooth_l1(feats_rst, feats_ref)
+    recons_joints = smooth_l1(joints_rst, joints_ref)
+    kl_motion = kl_normal_standard(mu, logvar)
+    total = (weights.lambda_rec * recons_feature
+             + weights.lambda_joint * recons_joints
+             + weights.lambda_kl * kl_motion)
+    return total, {
+        "recons_feature": recons_feature,
+        "recons_joints": recons_joints,
+        "kl_motion": kl_motion,
+        "total": total,
+    }
+
+
+def diffusion_loss(
+    noise_pred: jax.Array, noise: jax.Array,
+    *,
+    predict_epsilon: bool = True,
+    x0_pred: jax.Array | None = None,
+    x0: jax.Array | None = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    if predict_epsilon:
+        inst = jnp.mean((noise_pred - noise) ** 2)
+        return inst, {"inst_loss": inst, "total": inst}
+    x = jnp.mean((x0_pred - x0) ** 2)
+    return x, {"x_loss": x, "total": x}

@@ -1,0 +1,264 @@
+"""LADiff system: two-stage (VAE / latent-diffusion) text-to-motion model.
+
+TPU-native rebuild of the reference orchestrator
+/root/reference/src/ladiff/models/modeltype/ladiff.py:27-1489 (a PyTorch
+LightningModule).  Here the orchestrator is a thin, stateless composition
+layer: it owns module *definitions* and static hyperparameters, and exposes
+pure functions (params, batch, rng) -> outputs that the trainer jits over a
+device mesh.  Key path mapping:
+
+  reference                          ->  here
+  train_vae_forward (:815)               vae_forward
+  train_diffusion_forward (:874)         diffusion_forward
+  _diffusion_process (:745)              diffusion_forward (noising inline)
+  _diffusion_reverse (:333)              diffusion_reverse (lax.scan DDIM)
+  forward / demo path (:250)             generate
+  feats2joints (datamodule)              feats2joints (denorm + RIC recover)
+
+Text conditioning arrives as precomputed frozen-CLIP pooled features
+([B, 1, 768]); caption dropout for classifier-free guidance replaces a
+sample's embedding with the empty-string embedding (reference drops the
+caption string itself at ladiff.py:919-923 — identical effect, but jittable).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ladiff_tpu.data.humanml.motion_repr import recover_from_ric
+from ladiff_tpu.diffusion.sampling import ddim_sample, make_cfg_denoise_fn
+from ladiff_tpu.diffusion.schedulers import DiffusionSchedule, make_schedule
+from ladiff_tpu.losses.mld import LossWeights, diffusion_loss, vae_loss
+from ladiff_tpu.models.denoiser import LADenoiser
+from ladiff_tpu.models.vae import LAVae
+from ladiff_tpu.utils.masks import latent_valid_mask, lengths_to_mask
+
+__all__ = ["LADiffSystem"]
+
+
+@dataclasses.dataclass
+class LADiffSystem:
+    nfeats: int
+    njoints: int
+    max_frames: int = 196
+    latent_dim: Tuple[int, int] = (7, 256)
+    ff_size: int = 1024
+    num_layers: int = 9
+    num_heads: int = 4
+    dropout: float = 0.1
+    max_it: int = 5
+    frame_per_latent: int = 48
+    lad: bool = True
+    dvae: bool = False
+    percentage_noised: float = 0.0
+    md_trans: bool = True
+    text_encoded_dim: int = 768
+    guidance_scale: float = 7.5
+    guidance_uncondp: float = 0.1
+    predict_epsilon: bool = True
+    num_inference_timesteps: int = 50
+    eta: float = 0.0
+    num_train_timesteps: int = 1000
+    weights: LossWeights = dataclasses.field(default_factory=LossWeights)
+    # feature normalization stats (set by the datamodule)
+    mean: Optional[jnp.ndarray] = None
+    std: Optional[jnp.ndarray] = None
+    dtype: Any = jnp.float32
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_cfg(cls, cfg, nfeats: int, njoints: int,
+                 mean=None, std=None, dtype=jnp.float32) -> "LADiffSystem":
+        abl = cfg.TRAIN.ABLATION
+        m = cfg.model
+        sched = m.get("scheduler", {})
+        return cls(
+            nfeats=nfeats,
+            njoints=njoints,
+            max_frames=int(cfg.DATASET.SAMPLER.MAX_LEN),
+            latent_dim=tuple(m.latent_dim),
+            ff_size=int(m.ff_size),
+            num_layers=int(m.num_layers),
+            num_heads=int(m.num_head),
+            dropout=float(m.droupout),  # sic: reference key spelling
+            max_it=int(abl.MAX_IT),
+            frame_per_latent=int(abl.FRAME_PER_LATENT),
+            lad=bool(abl.LAD),
+            dvae=bool(abl.get("DVAE", False)),
+            percentage_noised=float(abl.get("PERCENTAGE_NOISED", 0.0)),
+            md_trans=bool(abl.get("MD_TRANS", False)),
+            guidance_scale=float(m.guidance_scale),
+            guidance_uncondp=float(m.guidance_uncondp),
+            predict_epsilon=bool(abl.get("PREDICT_EPSILON", True)),
+            num_inference_timesteps=int(sched.get("num_inference_timesteps", 50)),
+            eta=float(sched.get("eta", 0.0)),
+            num_train_timesteps=int(
+                (sched.get("params") or {}).get("num_train_timesteps", 1000)),
+            weights=LossWeights.from_cfg(cfg),
+            mean=None if mean is None else jnp.asarray(mean),
+            std=None if std is None else jnp.asarray(std),
+            dtype=dtype,
+        )
+
+    # -- module definitions --------------------------------------------
+    @property
+    def vae(self) -> LAVae:
+        return LAVae(
+            nfeats=self.nfeats, latent_dim=self.latent_dim,
+            ff_size=self.ff_size, num_layers=self.num_layers,
+            num_heads=self.num_heads, dropout=self.dropout,
+            max_it=self.max_it, frame_per_latent=self.frame_per_latent,
+            lad=self.lad, dvae=self.dvae,
+            percentage_noised=self.percentage_noised, dtype=self.dtype)
+
+    @property
+    def denoiser(self) -> LADenoiser:
+        return LADenoiser(
+            nfeats=self.nfeats, latent_dim=self.latent_dim,
+            ff_size=self.ff_size, num_layers=self.num_layers,
+            num_heads=self.num_heads, dropout=self.dropout,
+            text_encoded_dim=self.text_encoded_dim, md_trans=self.md_trans,
+            guidance_uncondp=self.guidance_uncondp, dtype=self.dtype)
+
+    @property
+    def schedule(self) -> DiffusionSchedule:
+        return make_schedule(
+            num_train_timesteps=self.num_train_timesteps,
+            prediction_type="epsilon" if self.predict_epsilon else "sample")
+
+    # ------------------------------------------------------------------
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
+        B, T = 2, self.max_frames
+        feats = jnp.zeros((B, T, self.nfeats))
+        lengths = jnp.full((B,), T, jnp.int32)
+        v_rng, d_rng, s_rng = jax.random.split(rng, 3)
+        vae_params = self.vae.init(v_rng, feats, lengths, s_rng)["params"]
+        sample = jnp.zeros((B, self.max_it, self.latent_dim[-1]))
+        t = jnp.zeros((B,), jnp.int32)
+        text = jnp.zeros((B, 1, self.text_encoded_dim))
+        valid = jnp.ones((B, self.max_it), bool)
+        den_params = self.denoiser.init(d_rng, sample, t, text, valid)["params"]
+        return {"vae": vae_params, "denoiser": den_params}
+
+    # ------------------------------------------------------------------
+    def feats2joints(self, feats: jax.Array) -> jax.Array:
+        """Denormalize + RIC recovery (reference data/HumanML3D.py:44-48)."""
+        if self.mean is not None:
+            feats = feats * self.std + self.mean
+        return recover_from_ric(feats, self.njoints)
+
+    def renorm4t2m(self, feats: jax.Array, mean_eval, std_eval) -> jax.Array:
+        """Re-normalize to T2M evaluator stats (HumanML3D.py:57-65)."""
+        feats = feats * self.std + self.mean
+        return (feats - mean_eval) / std_eval
+
+    # -- stage 1: VAE ---------------------------------------------------
+    def vae_forward(self, vae_params, batch: Dict[str, jax.Array],
+                    rng: jax.Array, train: bool = True):
+        """Reconstruction pass + losses (reference train_vae_forward :815)."""
+        feats_ref = batch["motion"]
+        lengths = batch["length"]
+        enc_rng, dec_rng, drop_rng = jax.random.split(rng, 3)
+        z, mu, logvar, lat_valid = self.vae.apply(
+            {"params": vae_params}, feats_ref, lengths,
+            rng=enc_rng, deterministic=not train,
+            rngs={"dropout": drop_rng} if train else {},
+            method=self.vae.encode)
+        feats_rst = self.vae.apply(
+            {"params": vae_params}, z, lengths, nframes=feats_ref.shape[1],
+            deterministic=not train,
+            rngs={"dropout": jax.random.fold_in(drop_rng, 1)} if train else {},
+            method=self.vae.decode)
+        joints_rst = self.feats2joints(feats_rst)
+        joints_ref = self.feats2joints(feats_ref)
+        total, logs = vae_loss(feats_rst, feats_ref, joints_rst, joints_ref,
+                               mu, logvar, self.weights)
+        aux = {"feats_rst": feats_rst, "z": z, "latent_valid": lat_valid,
+               "joints_rst": joints_rst, "joints_ref": joints_ref}
+        return total, (logs, aux)
+
+    # -- stage 2: diffusion --------------------------------------------
+    def diffusion_forward(self, den_params, vae_params,
+                          batch: Dict[str, jax.Array], rng: jax.Array,
+                          uncond_emb: jax.Array, train: bool = True):
+        """Noise-prediction training pass
+        (reference train_diffusion_forward :874 + _diffusion_process :745)."""
+        feats_ref = batch["motion"]
+        lengths = batch["length"]
+        text_emb = batch["text_emb"]  # [B, 1, 768] pooled CLIP features
+        B = feats_ref.shape[0]
+        enc_rng, t_rng, n_rng, cfg_rng, drop_rng = jax.random.split(rng, 5)
+
+        # frozen VAE encode (no grad through vae_params by construction)
+        z, _, _, lat_valid = self.vae.apply(
+            {"params": vae_params}, feats_ref, lengths,
+            rng=enc_rng, deterministic=True, method=self.vae.encode)
+        z = jax.lax.stop_gradient(z)
+
+        # classifier-free caption dropout (reference ladiff.py:919-923)
+        if train and self.guidance_uncondp > 0.0:
+            drop = jax.random.bernoulli(cfg_rng, self.guidance_uncondp, (B, 1, 1))
+            text_emb = jnp.where(drop, uncond_emb.astype(text_emb.dtype), text_emb)
+
+        schedule = self.schedule
+        noise = jax.random.normal(n_rng, z.shape, z.dtype)
+        timesteps = jax.random.randint(
+            t_rng, (B,), 0, schedule.num_train_timesteps)
+        noisy = schedule.add_noise(z, noise, timesteps)
+        if self.lad:
+            # re-zero inactive rows after noising (reference ladiff.py:779-782)
+            noisy = jnp.where(lat_valid[:, :, None], noisy, 0.0)
+
+        noise_pred = self.denoiser.apply(
+            {"params": den_params}, noisy, timesteps, text_emb, lat_valid,
+            deterministic=not train,
+            rngs={"dropout": drop_rng} if train else {})
+
+        if self.predict_epsilon:
+            total, logs = diffusion_loss(noise_pred, noise)
+        else:
+            total, logs = diffusion_loss(noise_pred, noise,
+                                         predict_epsilon=False,
+                                         x0_pred=noise_pred, x0=z)
+        return total, (logs, {"latent_valid": lat_valid})
+
+    # -- sampling -------------------------------------------------------
+    def diffusion_reverse(self, den_params, text_emb_cond: jax.Array,
+                          text_emb_uncond: jax.Array, lengths: jax.Array,
+                          rng: jax.Array,
+                          num_inference_timesteps: Optional[int] = None):
+        """CFG DDIM sampling of latents [B, max_it, D]
+        (reference _diffusion_reverse :333-571, non-AR path)."""
+        B = text_emb_cond.shape[0]
+        D = self.latent_dim[-1]
+        lat_valid = (latent_valid_mask(lengths, self.frame_per_latent,
+                                       self.max_it)
+                     if self.lad else None)
+
+        def denoise(latents, t, text, valid):
+            return self.denoiser.apply(
+                {"params": den_params}, latents, t, text, valid,
+                deterministic=True)
+
+        guided = make_cfg_denoise_fn(denoise, text_emb_uncond, text_emb_cond,
+                                     self.guidance_scale)
+        steps = num_inference_timesteps or self.num_inference_timesteps
+        return ddim_sample(
+            guided, self.schedule, rng, (B, self.max_it, D), steps,
+            latent_valid=lat_valid, eta=self.eta)
+
+    def generate(self, params, text_emb_cond, text_emb_uncond, lengths, rng,
+                 nframes: Optional[int] = None,
+                 num_inference_timesteps: Optional[int] = None):
+        """text embeddings -> motion features (reference forward :250-308)."""
+        z = self.diffusion_reverse(
+            params["denoiser"], text_emb_cond, text_emb_uncond, lengths, rng,
+            num_inference_timesteps)
+        feats = self.vae.apply(
+            {"params": params["vae"]}, z, lengths,
+            nframes=nframes or self.max_frames, deterministic=True,
+            method=self.vae.decode)
+        return feats, z

@@ -1,0 +1,115 @@
+"""End-to-end training-step tests over the virtual 8-device CPU mesh.
+
+These exercise the full SPMD path: sharded batches, replicated params,
+compiler-inserted gradient allreduce — the DP layout that replaces the
+reference's Lightning DDP (train.py:153-165)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladiff_tpu.losses.mld import LossWeights
+from ladiff_tpu.models.ladiff import LADiffSystem
+from ladiff_tpu.parallel.mesh import make_mesh, shard_batch
+from ladiff_tpu.training.trainer import (create_train_state,
+                                         make_diffusion_train_step,
+                                         make_optimizer, make_vae_train_step)
+
+NFEATS, NJOINTS, T = 263, 22, 64
+
+
+def tiny_system(**kw):
+    defaults = dict(
+        nfeats=NFEATS, njoints=NJOINTS, max_frames=T, latent_dim=(7, 32),
+        ff_size=64, num_layers=3, num_heads=4, dropout=0.1,
+        text_encoded_dim=48, num_inference_timesteps=4,
+        mean=np.zeros(NFEATS, np.float32), std=np.ones(NFEATS, np.float32))
+    defaults.update(kw)
+    return LADiffSystem(**defaults)
+
+
+def make_batch(B=8):
+    rng = np.random.RandomState(0)
+    return {
+        "motion": jnp.asarray(rng.randn(B, T, NFEATS).astype(np.float32) * 0.3),
+        "length": jnp.asarray(rng.randint(16, T + 1, B).astype(np.int32)),
+        "text_emb": jnp.asarray(rng.randn(B, 1, 48).astype(np.float32)),
+    }
+
+
+def test_vae_train_step_decreases_loss():
+    system = tiny_system()
+    mesh = make_mesh()
+    params = system.init_params(jax.random.PRNGKey(0))
+    state = create_train_state(params["vae"], make_optimizer(1e-3))
+    step = make_vae_train_step(system, mesh)
+    batch = shard_batch({k: v for k, v in make_batch().items()
+                         if k in ("motion", "length")}, mesh)
+    losses = []
+    for i in range(8):
+        state, logs = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(logs["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_diffusion_train_step_runs_and_updates():
+    system = tiny_system()
+    mesh = make_mesh()
+    params = system.init_params(jax.random.PRNGKey(0))
+    state = create_train_state(params["denoiser"], make_optimizer(1e-3))
+    uncond = np.zeros((1, 1, 48), np.float32)
+    step = make_diffusion_train_step(system, mesh, params["vae"], uncond)
+    batch = shard_batch(make_batch(), mesh)
+    p0 = jax.tree.map(np.asarray, state.params)
+    losses = []
+    for i in range(6):
+        state, logs = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(logs["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # params actually moved
+    moved = jax.tree.reduce(
+        lambda a, b: a or b,
+        jax.tree.map(lambda a, b: bool(np.abs(a - np.asarray(b)).max() > 0),
+                     p0, state.params))
+    assert moved
+
+
+def test_generate_end_to_end():
+    system = tiny_system()
+    params = system.init_params(jax.random.PRNGKey(0))
+    B = 4
+    text_c = jnp.ones((B, 1, 48))
+    text_u = jnp.zeros((B, 1, 48))
+    lengths = jnp.array([T, 50, 48, 20])
+    feats, z = system.generate(params, text_c, text_u, lengths,
+                               jax.random.PRNGKey(1), nframes=T)
+    assert feats.shape == (B, T, NFEATS)
+    assert z.shape == (B, system.max_it, 32)
+    # inactive latent rows zero; padded frames zero
+    assert np.abs(np.asarray(z[3, 1:])).max() == 0.0
+    assert np.abs(np.asarray(feats[1, 50:])).max() == 0.0
+    joints = system.feats2joints(feats)
+    assert joints.shape == (B, T, NJOINTS, 3)
+
+
+def test_vae_grads_identical_to_single_device():
+    """Sharded-vs-replicated gradient parity: the SPMD mean must equal the
+    single-device global-batch gradient."""
+    system = tiny_system(dropout=0.0)
+    mesh = make_mesh()
+    params = system.init_params(jax.random.PRNGKey(0))["vae"]
+    batch = {k: v for k, v in make_batch().items() if k in ("motion", "length")}
+
+    def loss_fn(p, b):
+        total, _ = system.vae_forward(p, b, jax.random.PRNGKey(5), train=False)
+        return total
+
+    g_single = jax.grad(loss_fn)(params, batch)
+    sharded = shard_batch(batch, mesh)
+    g_sharded = jax.jit(jax.grad(loss_fn))(params, sharded)
+    flat1, _ = jax.flatten_util.ravel_pytree(g_single)
+    flat2, _ = jax.flatten_util.ravel_pytree(g_sharded)
+    # different reduction orders across shards: allow float accumulation noise
+    np.testing.assert_allclose(np.asarray(flat1), np.asarray(flat2),
+                               atol=5e-4)
