@@ -1,0 +1,90 @@
+"""Headline benchmark: DDIM-50 motion samples/sec/chip.
+
+Protocol (BASELINE.md north star): batch-256 classifier-free-guided DDIM-50
+generation of 196-frame HumanML3D motions (263 feats) at the published model
+scale (9-layer MD-trans denoiser, 9-layer LA-VAE decode, d=256), on one TPU
+chip.  The whole pipeline — 50 denoiser evaluations with CFG batch doubling
++ VAE decode — runs as a single jitted program with zero host sync.
+
+Baseline: the reference repo publishes no numbers (BASELINE.json
+``published: {}``).  The closest published figure for this architecture
+family is MLD's average inference time per sentence of 0.217 s (DDIM-50,
+V100; MLD paper Table; LADiff is an MLD fork with the same-sized denoiser),
+i.e. ~4.6 samples/sec/chip.  ``vs_baseline`` is reported against that.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_SAMPLES_PER_SEC = 4.6  # MLD DDIM-50 V100 estimate (see module docstring)
+BATCH = 256
+STEPS = 50
+FRAMES = 196
+
+
+def main():
+    from ladiff_tpu.models.ladiff import LADiffSystem
+
+    nfeats, njoints = 263, 22
+    dtype = jnp.bfloat16  # MXU-native compute; params stay f32
+    system = LADiffSystem(
+        nfeats=nfeats, njoints=njoints, max_frames=FRAMES,
+        latent_dim=(7, 256), ff_size=1024, num_layers=9, num_heads=4,
+        dropout=0.1, text_encoded_dim=768, num_inference_timesteps=STEPS,
+        mean=np.zeros(nfeats, np.float32), std=np.ones(nfeats, np.float32),
+        dtype=dtype)
+    params = system.init_params(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def run(params, text_cond, text_uncond, lengths, rng):
+        feats, _ = system.generate(params, text_cond, text_uncond, lengths,
+                                   rng, nframes=FRAMES)
+        # reduce to a scalar: fetching it forces full execution without a
+        # bulk transfer (block_until_ready is unreliable over the axon relay)
+        return jnp.float32(jnp.sum(feats))
+
+    @jax.jit
+    def noop(rng):
+        return jnp.float32(jax.random.uniform(rng, ()))
+
+    text_cond = jnp.asarray(
+        np.random.RandomState(0).randn(BATCH, 1, 768).astype(np.float32))
+    text_uncond = jnp.zeros((BATCH, 1, 768), jnp.float32)
+    lengths = jnp.full((BATCH,), FRAMES, jnp.int32)
+
+    # compile + warmup
+    np.asarray(run(params, text_cond, text_uncond, lengths, jax.random.PRNGKey(1)))
+    np.asarray(noop(jax.random.PRNGKey(0)))
+
+    # per-call host<->device round-trip overhead to subtract
+    t0 = time.perf_counter()
+    for i in range(5):
+        np.asarray(noop(jax.random.PRNGKey(i)))
+    overhead = (time.perf_counter() - t0) / 5
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        np.asarray(run(params, text_cond, text_uncond, lengths,
+                       jax.random.PRNGKey(2 + i)))
+    dt = (time.perf_counter() - t0) / iters - overhead
+    assert dt > 0
+
+    samples_per_sec = BATCH / dt
+    print(json.dumps({
+        "metric": "ddim50_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s (batch 256, 196 frames, CFG, DDIM-50)",
+        "vs_baseline": round(samples_per_sec / REF_SAMPLES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
