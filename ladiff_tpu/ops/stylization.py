@@ -48,7 +48,7 @@ class StylizationBlock(nn.Module):
         emb_out = nn.Dense(2 * self.latent_dim, dtype=self.dtype,
                            name="emb_layers_1")(nn.silu(emb))
         scale, shift = jnp.split(emb_out[:, None, :], 2, axis=2)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h) * (1 + scale) + shift
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(h) * (1 + scale) + shift
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.latent_dim, dtype=self.dtype, kernel_init=zero_init,
@@ -78,8 +78,8 @@ class LinearTemporalCrossAttention(nn.Module):
         B, T, D = x.shape
         N = xf.shape[1]
         H = self.num_heads
-        xn = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        tn = nn.LayerNorm(dtype=self.dtype, name="text_norm")(xf)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        tn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="text_norm")(xf)
         query = nn.Dense(D, dtype=self.dtype, name="query")(xn)
         key = nn.Dense(D, dtype=self.dtype, name="key")(tn)
         value = nn.Dense(D, dtype=self.dtype, name="value")(tn)
@@ -192,7 +192,7 @@ class MDSkipTransformerEncoder(nn.Module):
             nn.Dense(self.d_model, dtype=self.dtype, name=f"linear_blocks_{i}")
             for i in range(num_block)
         ]
-        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
 
     def __call__(
         self,

@@ -62,8 +62,8 @@ class TransformerEncoderLayer(nn.Module):
                                   dtype=self.dtype, name="self_attn")
         linear1 = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")
         linear2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")
-        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
-        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
         act = get_activation(self.activation)
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
@@ -115,9 +115,9 @@ class TransformerDecoderLayer(nn.Module):
                                         dtype=self.dtype, name="multihead_attn")
         linear1 = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")
         linear2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")
-        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
-        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
-        norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")
         act = get_activation(self.activation)
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
@@ -183,7 +183,7 @@ class SkipTransformerEncoder(nn.Module):
             nn.Dense(self.d_model, dtype=self.dtype, name=f"linear_blocks_{i}")
             for i in range(num_block)
         ]
-        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
 
     def __call__(
         self,
@@ -230,7 +230,7 @@ class SkipTransformerDecoder(nn.Module):
             nn.Dense(self.d_model, dtype=self.dtype, name=f"linear_blocks_{i}")
             for i in range(num_block)
         ]
-        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
 
     def __call__(
         self,

@@ -1,0 +1,62 @@
+"""CLIP text tower parity tests against the HuggingFace torch implementation
+(constructed locally from a config — no downloads)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ladiff_tpu.models.clip_text import (CLIPTextTower, ClipTextEncoder,
+                                         HashTokenizer, load_torch_clip_state)
+
+
+def test_tower_matches_hf_clip(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+
+    cfg = CLIPTextConfig(
+        vocab_size=120, hidden_size=32, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, max_position_embeddings=77,
+        projection_dim=32, hidden_act="quick_gelu",
+        bos_token_id=118, eos_token_id=119)
+    hf = CLIPTextModelWithProjection(cfg).eval()
+    # save in the layout load_torch_clip_state expects
+    state = {k: v for k, v in hf.state_dict().items()}
+    torch.save(state, os.path.join(tmp_path, "pytorch_model.bin"))
+
+    tower = CLIPTextTower(vocab_size=120, width=32, num_layers=2, heads=4,
+                          projection_dim=32)
+    params = load_torch_clip_state(str(tmp_path), tower)
+    assert params is not None
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 110, (3, 77)).astype(np.int64)
+    ids[:, 0] = 118
+    ids[:, 10] = 119  # EOT = highest id -> argmax pooling picks position 10
+    ids[:, 11:] = 0
+
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(ids)).text_embeds.numpy()
+    got = tower.apply({"params": params}, jnp.asarray(ids.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_clip_encoder_wrapper_shapes():
+    enc = ClipTextEncoder(modelpath=None)
+    out = enc(["a person walks forward", "someone jumps"])
+    assert out.shape == (2, 1, 768)
+    assert np.isfinite(np.asarray(out)).all()
+    # deterministic
+    out2 = enc(["a person walks forward", "someone jumps"])
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_hash_tokenizer_stable():
+    tok = HashTokenizer()
+    a = tok(["a person walks"])
+    b = tok(["a person walks"])
+    np.testing.assert_array_equal(a, b)
+    assert a[0, 0] == 49406  # SOT
+    assert (a[0] == 49407).any()  # EOT present
+    assert a[0].max() == 49407  # EOT is argmax -> pooling picks it

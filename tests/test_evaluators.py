@@ -1,0 +1,109 @@
+"""Parity tests for the T2M evaluator encoders against the reference torch
+modules (imported from /root/reference as the golden oracle, incl. the
+pack_padded_sequence BiGRU semantics)."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ladiff_tpu.models.evaluators import (MotionEncoderBiGRUCo,
+                                          MovementConvEncoder,
+                                          TextEncoderBiGRUCo)
+
+sys.path.insert(0, "/root/reference/src")
+
+
+def _torch_state_to_params_bigru(sd, has_pos=False):
+    """Map a reference BiGRUCo state_dict onto our param tree."""
+    p = {}
+    if has_pos:
+        p["pos_emb"] = {"kernel": sd["pos_emb.weight"].T.numpy(),
+                        "bias": sd["pos_emb.bias"].numpy()}
+    p["input_emb"] = {"kernel": sd["input_emb.weight"].T.numpy(),
+                      "bias": sd["input_emb.bias"].numpy()}
+    p["hidden"] = sd["hidden"].numpy()
+    for ours, theirs in (("gru_fwd", "l0"), ("gru_bwd", "l0_reverse")):
+        p[f"{ours}_w_ih"] = sd[f"gru.weight_ih_{theirs}"].numpy()
+        p[f"{ours}_w_hh"] = sd[f"gru.weight_hh_{theirs}"].numpy()
+        p[f"{ours}_b_ih"] = sd[f"gru.bias_ih_{theirs}"].numpy()
+        p[f"{ours}_b_hh"] = sd[f"gru.bias_hh_{theirs}"].numpy()
+    p["output_net_0"] = {"kernel": sd["output_net.0.weight"].T.numpy(),
+                         "bias": sd["output_net.0.bias"].numpy()}
+    p["output_net_1"] = {"scale": sd["output_net.1.weight"].numpy(),
+                         "bias": sd["output_net.1.bias"].numpy()}
+    p["output_net_3"] = {"kernel": sd["output_net.3.weight"].T.numpy(),
+                         "bias": sd["output_net.3.bias"].numpy()}
+    return jax.tree.map(jnp.asarray, p)
+
+
+def test_motion_encoder_matches_reference():
+    torch = pytest.importorskip("torch")
+    from ladiff.models.architectures.t2m_motionenc import (
+        MotionEncoderBiGRUCo as RefEnc)
+
+    I, H, O = 24, 32, 16
+    ref = RefEnc(input_size=I, hidden_size=H, output_size=O).eval()
+    params = _torch_state_to_params_bigru(ref.state_dict())
+    ours = MotionEncoderBiGRUCo(hidden_size=H, output_size=O)
+
+    rng = np.random.RandomState(0)
+    B, T = 4, 12
+    x = rng.randn(B, T, I).astype(np.float32)
+    lens = np.array([12, 9, 6, 3])  # sorted desc (pack_padded requirement)
+    with torch.no_grad():
+        want = ref(torch.tensor(x), torch.tensor(lens)).numpy()
+    got = ours.apply({"params": params}, jnp.asarray(x), jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_text_encoder_matches_reference():
+    torch = pytest.importorskip("torch")
+    from ladiff.models.architectures.t2m_textenc import (
+        TextEncoderBiGRUCo as RefEnc)
+
+    W, P, H, O = 30, 15, 32, 16
+    ref = RefEnc(word_size=W, pos_size=P, hidden_size=H, output_size=O).eval()
+    params = _torch_state_to_params_bigru(ref.state_dict(), has_pos=True)
+    ours = TextEncoderBiGRUCo(hidden_size=H, output_size=O, word_size=W)
+
+    rng = np.random.RandomState(1)
+    B, T = 3, 10
+    we = rng.randn(B, T, W).astype(np.float32)
+    po = rng.randn(B, T, P).astype(np.float32)
+    lens = np.array([10, 7, 4])
+    with torch.no_grad():
+        want = ref(torch.tensor(we), torch.tensor(po),
+                   torch.tensor(lens)).numpy()
+    got = ours.apply({"params": params}, jnp.asarray(we), jnp.asarray(po),
+                     jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_movement_conv_matches_reference():
+    torch = pytest.importorskip("torch")
+    from ladiff.models.architectures.t2m_motionenc import (
+        MovementConvEncoder as RefEnc)
+
+    I, H, O = 20, 16, 8
+    ref = RefEnc(input_size=I, hidden_size=H, output_size=O).eval()
+    sd = ref.state_dict()
+    params = {
+        "conv1": {"kernel": sd["main.0.weight"].numpy().transpose(2, 1, 0),
+                  "bias": sd["main.0.bias"].numpy()},
+        "conv2": {"kernel": sd["main.3.weight"].numpy().transpose(2, 1, 0),
+                  "bias": sd["main.3.bias"].numpy()},
+        "out_net": {"kernel": sd["out_net.weight"].T.numpy(),
+                    "bias": sd["out_net.bias"].numpy()},
+    }
+    params = jax.tree.map(jnp.asarray, params)
+    ours = MovementConvEncoder(hidden_size=H, output_size=O)
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 16, I).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+    got = ours.apply({"params": params}, jnp.asarray(x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
