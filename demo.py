@@ -1,0 +1,116 @@
+"""Single-prompt inference entry point.
+
+Mirrors the reference demo (/root/reference/src/demo.py): reads an example
+txt file with ``length text`` per line (utils/demo_utils.py:6-21), generates
+motions, saves per-sample ``.npy`` joints + ``.txt`` captions, and prints
+FPS timings.  Supports the latentwise fw/bw generation ablation
+(reference demo.py:46-53 + ladiff.py:274-283: repeat each latent set
+MAX_IT times, progressively zeroing later/earlier rows to visualize what
+each latent token contributes).
+"""
+from __future__ import annotations
+
+import os
+import time
+from os.path import join as pjoin
+
+DEFAULT_EXAMPLES = [
+    (196, "a person walks forward and then turns around"),
+    (120, "someone jumps twice and raises both arms"),
+    (64, "a person sits down on a chair"),
+]
+
+
+def load_example_file(path):
+    """`length text` per line (reference utils/demo_utils.py:6-21)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            length, text = line.split(" ", 1)
+            out.append((int(length), text))
+    return out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ladiff_tpu.config import parse_args
+    from ladiff_tpu.data.datamodule import get_datasets
+    from ladiff_tpu.models.clip_text import ClipTextEncoder
+    from ladiff_tpu.training.loop import CaptionEmbedder, build_system
+    from ladiff_tpu.utils.checkpoint import CheckpointManager, latest_checkpoint
+    from ladiff_tpu.utils.logger import create_logger
+    from ladiff_tpu.utils.masks import latent_valid_mask
+
+    cfg = parse_args("demo")
+    logger = create_logger(cfg, phase="demo")
+    dm = get_datasets(cfg, phase="test")[0]
+    system = build_system(cfg, dm)
+
+    example = cfg.DEMO.get("EXAMPLE")
+    pairs = load_example_file(example) if example else DEFAULT_EXAMPLES
+    lengths = [min(l, system.max_frames) for l, _ in pairs]
+    texts = [t for _, t in pairs]
+
+    ckpt_src = str(cfg.TEST.CHECKPOINTS)
+    found = latest_checkpoint(ckpt_src)
+    if found is not None:
+        _, tree = CheckpointManager(ckpt_src).restore(found[0])
+        params = jax.tree.map(jnp.asarray, tree["params"])
+        logger.info(f"loaded checkpoint epoch {found[0]}")
+    else:
+        logger.warning(f"no checkpoint under {ckpt_src}; using random init")
+        params = system.init_params(jax.random.PRNGKey(0))
+
+    text_encoder = ClipTextEncoder(
+        modelpath=str(cfg.model.get("clip_path", "") or "") or None)
+    embedder = CaptionEmbedder(text_encoder)
+    cond = jnp.asarray(embedder(texts))
+    uncond = jnp.asarray(np.repeat(embedder.uncond, len(texts), 0))
+    lengths_arr = jnp.asarray(np.array(lengths, np.int32))
+
+    rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)))
+    latentwise = cfg.DEMO.get("LATENTWISE_GEN")
+
+    t0 = time.time()
+    z = system.diffusion_reverse(params["denoiser"], cond, uncond,
+                                 lengths_arr, rng)
+    if latentwise in ("fw", "bw"):
+        # repeat each sample MAX_IT times with progressive latent masking
+        M = system.max_it
+        z = jnp.repeat(z, M, axis=0)
+        lengths_arr = jnp.repeat(lengths_arr, M)
+        texts = [t for t in texts for _ in range(M)]
+        keep = jnp.arange(M)[None, :]  # latent row index
+        step = jnp.tile(jnp.arange(M), (len(pairs),))[:, None]
+        mask = (keep <= step) if latentwise == "fw" else (keep >= M - 1 - step)
+        base_valid = latent_valid_mask(lengths_arr, system.frame_per_latent, M)
+        z = jnp.where((mask & base_valid)[:, :, None], z, 0.0)
+    feats = system.vae.apply(
+        {"params": params["vae"]}, z, lengths_arr,
+        nframes=system.max_frames, deterministic=True,
+        method=system.vae.decode)
+    joints = jax.device_get(system.feats2joints(feats))
+    dt = time.time() - t0
+    logger.info(f"generated {len(texts)} motions in {dt:.2f}s "
+                f"({sum(lengths) / dt:.1f} fps overall)")
+
+    out_dir = cfg.DEMO.get("OUT_DIR") or pjoin(cfg.get("FOLDER_EXP", "."),
+                                               "samples")
+    os.makedirs(out_dir, exist_ok=True)
+    lengths_np = np.asarray(lengths_arr)
+    for i, text in enumerate(texts):
+        L = int(lengths_np[i])
+        np.save(pjoin(out_dir, f"sample_{i:03d}.npy"), joints[i, :L])
+        with open(pjoin(out_dir, f"sample_{i:03d}.txt"), "w") as f:
+            f.write(text + "\n")
+    logger.info(f"saved {len(texts)} samples to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,9 @@ class LADiffSystem:
             dvae=bool(abl.get("DVAE", False)),
             percentage_noised=float(abl.get("PERCENTAGE_NOISED", 0.0)),
             md_trans=bool(abl.get("MD_TRANS", False)),
+            text_encoded_dim=int(
+                ((m.get("denoiser") or {}).get("params") or {})
+                .get("text_encoded_dim", 768)),
             guidance_scale=float(m.guidance_scale),
             guidance_uncondp=float(m.guidance_uncondp),
             predict_epsilon=bool(abl.get("PREDICT_EPSILON", True)),

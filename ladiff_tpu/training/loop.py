@@ -1,0 +1,192 @@
+"""Training orchestration: two-stage loop, checkpointing, resume.
+
+Replaces the reference Lightning driver (/root/reference/src/train.py:18-230):
+  * stage "vae": LA-VAE reconstruction training (bs 64, 3000 epochs),
+  * stage "diffusion": denoiser training with the stage-1 VAE frozen,
+    booted from PRETRAINED_VAE (train.py:181-193's key surgery becomes an
+    orbax restore or a torch-ckpt conversion),
+  * periodic keep-all checkpoints + newest-checkpoint resume
+    (train.py:26-53,140-149),
+  * per-epoch loss lines (ProgressLogger equivalent).
+
+Text conditioning: frozen CLIP runs once per unique caption through a host
+cache (the reference re-encodes every batch; captions repeat heavily, so
+caching removes the text tower from the steady-state step entirely).
+"""
+from __future__ import annotations
+
+import time
+from os.path import join as pjoin
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladiff_tpu.data.datamodule import T2MDataModule
+from ladiff_tpu.models.ladiff import LADiffSystem
+from ladiff_tpu.parallel.mesh import make_mesh, shard_batch
+from ladiff_tpu.training.trainer import (create_train_state,
+                                         make_diffusion_train_step,
+                                         make_optimizer, make_vae_train_step)
+from ladiff_tpu.utils.checkpoint import CheckpointManager, latest_checkpoint
+
+__all__ = ["CaptionEmbedder", "run_training", "build_system"]
+
+
+class CaptionEmbedder:
+    """caption string -> pooled CLIP features, cached on host."""
+
+    def __init__(self, text_encoder):
+        self.text_encoder = text_encoder
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def __call__(self, texts) -> np.ndarray:
+        missing = [t for t in texts if t not in self._cache]
+        if missing:
+            uniq = sorted(set(missing))
+            embs = np.asarray(self.text_encoder(uniq))
+            for t, e in zip(uniq, embs):
+                self._cache[t] = e
+        return np.stack([self._cache[t] for t in texts])
+
+    @property
+    def uncond(self) -> np.ndarray:
+        return self([""])[0][None]  # [1, 1, 768]
+
+
+def build_system(cfg, dm: T2MDataModule, dtype=jnp.float32) -> LADiffSystem:
+    return LADiffSystem.from_cfg(cfg, nfeats=dm.nfeats, njoints=dm.njoints,
+                                 mean=dm.mean, std=dm.std, dtype=dtype)
+
+
+def _pad_batch(batch: dict, multiple: int) -> dict:
+    """Pad the batch dim up to a multiple (repeat last rows) so it shards
+    evenly; training loss weighting over duplicates is negligible for the
+    final partial batch."""
+    B = batch["motion"].shape[0]
+    rem = (-B) % multiple
+    if rem == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            pad = np.repeat(v[-1:], rem, axis=0)
+            out[k] = np.concatenate([v, pad], axis=0)
+        else:
+            out[k] = list(v) + [v[-1]] * rem
+    return out
+
+
+def run_training(cfg, dm: T2MDataModule, logger,
+                 text_encoder=None,
+                 max_epochs: Optional[int] = None,
+                 max_steps_per_epoch: Optional[int] = None) -> str:
+    """Train the configured stage; returns the checkpoint directory."""
+    stage = str(cfg.TRAIN.STAGE)
+    system = build_system(cfg, dm)
+    mesh = make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    exp_dir = cfg.get("FOLDER_EXP", ".")
+    ckpt_dir = pjoin(exp_dir, "checkpoints")
+    ckpt = CheckpointManager(ckpt_dir)
+
+    rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)))
+    params = system.init_params(rng)
+    tx = make_optimizer(float(cfg.TRAIN.OPTIM.LR))
+
+    if stage == "vae":
+        state = create_train_state(params["vae"], tx)
+        step_fn = make_vae_train_step(system, mesh)
+        embedder = None
+    elif stage == "diffusion":
+        # stage-1 boot: restore the pretrained VAE (reference train.py:181-193)
+        vae_src = str(cfg.TRAIN.get("PRETRAINED_VAE", "") or "")
+        vae_params = params["vae"]
+        if vae_src:
+            if vae_src.endswith(".ckpt"):
+                from ladiff_tpu.utils.checkpoint import \
+                    load_reference_vae_checkpoint
+                vae_params = jax.tree.map(
+                    jnp.asarray,
+                    load_reference_vae_checkpoint(vae_src, system.num_layers))
+                logger.info(f"loaded reference VAE ckpt from {vae_src}")
+            else:
+                found = latest_checkpoint(vae_src)
+                if found is None:
+                    raise FileNotFoundError(
+                        f"PRETRAINED_VAE has no checkpoints: {vae_src}")
+                _, tree = CheckpointManager(vae_src).restore(
+                    found[0], {"params": {"vae": params["vae"]}, "epoch": 0})
+                vae_params = tree["params"]["vae"]
+                logger.info(f"loaded VAE epoch {found[0]} from {vae_src}")
+        if text_encoder is None:
+            from ladiff_tpu.models.clip_text import ClipTextEncoder
+            text_encoder = ClipTextEncoder(
+                modelpath=str(cfg.model.get("clip_path", "") or "") or None)
+        embedder = CaptionEmbedder(text_encoder)
+        state = create_train_state(params["denoiser"], tx)
+        step_fn = make_diffusion_train_step(system, mesh, vae_params,
+                                            embedder.uncond)
+    else:
+        raise ValueError(f"unsupported stage {stage}")
+
+    start_epoch = 0
+    if str(cfg.TRAIN.get("RESUME", "") or ""):
+        found = latest_checkpoint(ckpt_dir)
+        if found:
+            key = "vae" if stage == "vae" else "denoiser"
+            target = {"params": {"vae": params["vae"]}, "epoch": 0}
+            if stage != "vae":
+                target["params"] = {"denoiser": state.params,
+                                    "vae": vae_params}
+            start_epoch, tree = ckpt.restore(found[0], target)
+            state = state.replace(params=tree["params"][key])
+            logger.info(f"resumed from epoch {start_epoch}")
+
+    end_epoch = max_epochs if max_epochs is not None else int(cfg.TRAIN.END_EPOCH)
+    save_every = int(cfg.LOGGER.get("SACE_CHECKPOINT_EPOCH", 200))
+    bs = int(cfg.TRAIN.BATCH_SIZE)
+    step_count = 0
+    for epoch in range(start_epoch, end_epoch):
+        t0 = time.time()
+        losses = []
+        for i, batch in enumerate(dm.loader("train", batch_size=bs,
+                                            seed=epoch)):
+            if max_steps_per_epoch and i >= max_steps_per_epoch:
+                break
+            batch = _pad_batch(batch, n_dev)
+            device_batch = {
+                "motion": jnp.asarray(batch["motion"]),
+                "length": jnp.asarray(batch["length"]),
+            }
+            if stage == "diffusion":
+                device_batch["text_emb"] = jnp.asarray(
+                    embedder(batch["text"]))
+            device_batch = shard_batch(device_batch, mesh)
+            rng, step_rng = jax.random.split(rng)
+            state, logs = step_fn(state, device_batch, step_rng)
+            losses.append(logs)
+            step_count += 1
+        if losses:
+            mean_logs = {k: float(np.mean([jax.device_get(l[k])
+                                           for l in losses]))
+                         for k in losses[0]}
+            dt = time.time() - t0
+            logger.info(
+                f"epoch {epoch} [{stage}] "
+                + " ".join(f"{k}={v:.5f}" for k, v in sorted(mean_logs.items()))
+                + f" ({dt:.1f}s)")
+        if (epoch + 1) % save_every == 0 or (epoch + 1) == end_epoch:
+            # diffusion-stage ckpts carry the frozen VAE too, mirroring the
+            # reference stage-2 ckpt layout (LightningModule holds both)
+            if stage == "vae":
+                tree = {"params": {"vae": jax.device_get(state.params)},
+                        "epoch": epoch + 1}
+            else:
+                tree = {"params": {"denoiser": jax.device_get(state.params),
+                                   "vae": jax.device_get(vae_params)},
+                        "epoch": epoch + 1}
+            path = ckpt.save(epoch + 1, tree)
+            logger.info(f"saved checkpoint {path}")
+    return ckpt_dir

@@ -1,0 +1,181 @@
+"""Benchmark evaluation entry point.
+
+Mirrors the reference protocol (/root/reference/src/test.py:39-170):
+REPLICATION_TIMES full passes of the T2M metric suite over the test split,
+plus a separate mm_mode pass per replication for MultiModality, aggregated
+as mean +- 1.96*sigma/sqrt(n), written to a table and metrics_<time>.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from os.path import join as pjoin
+
+
+def _aggregate(values):
+    import numpy as np
+    arr = np.asarray(values, dtype=np.float64)
+    mean = arr.mean()
+    conf = 1.96 * arr.std() / max(np.sqrt(len(arr)), 1)
+    return float(mean), float(conf)
+
+
+def run_test(cfg, logger, datamodule=None, text_encoder=None,
+             params=None, evaluator=None):
+    """Programmatic test runner; returns {metric: (mean, conf)}."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ladiff_tpu.data.datamodule import get_datasets
+    from ladiff_tpu.evaluation.t2m_eval import T2MEvaluator, make_eval_step
+    from ladiff_tpu.metrics.mm import MMMetrics
+    from ladiff_tpu.metrics.mr import MRMetrics
+    from ladiff_tpu.metrics.temos import TemosMetrics
+    from ladiff_tpu.metrics.tm2t import TM2TMetrics
+    from ladiff_tpu.training.loop import CaptionEmbedder, build_system
+    from ladiff_tpu.utils.checkpoint import CheckpointManager, latest_checkpoint
+
+    dm = datamodule or get_datasets(cfg, phase="test")[0]
+    system = build_system(cfg, dm)
+
+    if params is None:
+        ckpt_src = str(cfg.TEST.CHECKPOINTS)
+        found = latest_checkpoint(ckpt_src)
+        if found is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_src}")
+        epoch, tree = CheckpointManager(ckpt_src).restore(found[0])
+        params = jax.tree.map(jnp.asarray, tree["params"])
+        logger.info(f"loaded checkpoint epoch {epoch} from {ckpt_src}")
+    if "denoiser" not in params:
+        params = dict(params)
+        params["denoiser"] = system.init_params(jax.random.PRNGKey(0))["denoiser"]
+
+    if text_encoder is None:
+        from ladiff_tpu.models.clip_text import ClipTextEncoder
+        text_encoder = ClipTextEncoder(
+            modelpath=str(cfg.model.get("clip_path", "") or "") or None)
+    embedder = CaptionEmbedder(text_encoder)
+
+    if evaluator is None:
+        t2m_path = str(cfg.model.get("t2m_path", "") or "")
+        dataname = "t2m" if dm.name == "humanml3d" else dm.name
+        fin = pjoin(t2m_path, dataname, "text_mot_match", "model", "finest.tar")
+        evaluator = T2MEvaluator.from_checkpoint(fin, dm.nfeats)
+        if evaluator is None:
+            logger.warning(
+                f"T2M evaluator weights not found at {fin}; using random-init "
+                "evaluators (metrics are self-consistent only)")
+            evaluator = T2MEvaluator.random_init(dm.nfeats)
+
+    stage = str(cfg.TRAIN.STAGE)
+    eval_step = make_eval_step(system, evaluator, dm.mean_eval, dm.std_eval,
+                               stage="vae" if stage == "vae" else "diffusion")
+
+    metric_types = list(cfg.METRIC.TYPE)
+    reps = int(cfg.TEST.REPLICATION_TIMES)
+    bs = int(cfg.TEST.BATCH_SIZE)
+    all_metrics = defaultdict(list)
+    rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)))
+
+    for rep in range(reps):
+        tm2t = TM2TMetrics(diversity_times=min(
+            int(cfg.TEST.DIVERSITY_TIMES), 300), seed=rep)
+        temos = TemosMetrics(njoints=dm.njoints,
+                             jointstype=dm.name)
+        mr = MRMetrics(njoints=dm.njoints)
+        t0 = time.time()
+        n_seq = 0
+        for batch in dm.loader("test", batch_size=bs, shuffle=True, seed=rep):
+            texts = batch["text"]
+            cond = jnp.asarray(embedder(texts))
+            uncond = jnp.asarray(np.repeat(embedder.uncond, len(texts), 0))
+            device_batch = {
+                "motion": jnp.asarray(batch["motion"]),
+                "length": jnp.asarray(batch["length"]),
+                "word_embs": jnp.asarray(batch["word_embs"]),
+                "pos_ohot": jnp.asarray(batch["pos_ohot"]),
+                "text_len": jnp.asarray(batch["text_len"]),
+            }
+            rng, step_rng = jax.random.split(rng)
+            out = jax.device_get(eval_step(params, device_batch, cond,
+                                           uncond, step_rng))
+            lengths = list(np.asarray(batch["length"]))
+            n_seq += len(lengths)
+            if "TM2TMetrics" in metric_types:
+                tm2t.update(out["lat_t"], out["lat_rm"], out["lat_m"], lengths)
+            if "TemosMetric" in metric_types:
+                temos.update(out["joints_rst"], out["joints_ref"], lengths)
+            if "MRMetrics" in metric_types:
+                mr.update(out["joints_rst"], out["joints_ref"], lengths)
+
+        rep_metrics = {}
+        if "TM2TMetrics" in metric_types and n_seq > tm2t.R_size:
+            rep_metrics.update(tm2t.compute())
+        if "TemosMetric" in metric_types:
+            rep_metrics.update(temos.compute())
+        if "MRMetrics" in metric_types:
+            rep_metrics.update(mr.compute())
+
+        # MultiModality pass (reference test.py:142-146)
+        if "TM2TMetrics" in metric_types and stage != "vae":
+            mm = MMMetrics(mm_num_times=int(cfg.TEST.MM_NUM_TIMES), seed=rep)
+            dm.mm_mode(True, int(cfg.TEST.MM_NUM_SAMPLES), seed=rep)
+            n_rep = int(cfg.TEST.MM_NUM_REPEATS)
+            for batch in dm.loader("test", batch_size=1, shuffle=False):
+                texts = list(batch["text"]) * n_rep
+                cond = jnp.asarray(embedder(texts))
+                uncond = jnp.asarray(np.repeat(embedder.uncond, n_rep, 0))
+                rep_batch = {
+                    "motion": jnp.asarray(
+                        np.repeat(batch["motion"], n_rep, 0)),
+                    "length": jnp.asarray(
+                        np.repeat(batch["length"], n_rep, 0)),
+                    "word_embs": jnp.asarray(
+                        np.repeat(batch["word_embs"], n_rep, 0)),
+                    "pos_ohot": jnp.asarray(
+                        np.repeat(batch["pos_ohot"], n_rep, 0)),
+                    "text_len": jnp.asarray(
+                        np.repeat(batch["text_len"], n_rep, 0)),
+                }
+                rng, step_rng = jax.random.split(rng)
+                out = jax.device_get(eval_step(params, rep_batch,
+                                               cond, uncond, step_rng))
+                mm.update(out["lat_rm"][None], [1])
+            dm.mm_mode(False)
+            if mm.count_seq > int(cfg.TEST.MM_NUM_TIMES):
+                rep_metrics.update(mm.compute())
+
+        for k, v in rep_metrics.items():
+            all_metrics[k].append(float(v))
+        logger.info(f"replication {rep + 1}/{reps} done in "
+                    f"{time.time() - t0:.1f}s: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in
+                               sorted(rep_metrics.items())))
+
+    summary = {k: _aggregate(v) for k, v in all_metrics.items()}
+    lines = [f"{k:>24s}: {m:.4f} ± {c:.4f}" for k, (m, c) in
+             sorted(summary.items())]
+    logger.info("==== final metrics ====\n" + "\n".join(lines))
+
+    out_dir = cfg.get("FOLDER_EXP", ".")
+    stamp = time.strftime("%Y-%m-%dT%H-%M-%S")
+    with open(pjoin(out_dir, f"metrics_{stamp}.json"), "w") as f:
+        json.dump({k: {"mean": m, "conf": c} for k, (m, c) in summary.items()},
+                  f, indent=2)
+    return summary
+
+
+def main():
+    from ladiff_tpu.config import parse_args
+    from ladiff_tpu.utils.logger import create_logger
+
+    cfg = parse_args("test")
+    logger = create_logger(cfg, phase="test")
+    run_test(cfg, logger)
+
+
+if __name__ == "__main__":
+    main()

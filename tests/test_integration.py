@@ -1,0 +1,128 @@
+"""Full-pipeline integration test: synthetic data -> stage-1 VAE training ->
+stage-2 diffusion training (frozen VAE from the stage-1 checkpoint) ->
+benchmark eval (test.py protocol) -> generation.  Everything through the
+real config YAML tree with tiny overrides."""
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ladiff_tpu.config import assemble_config
+from ladiff_tpu.data.datamodule import T2MDataModule
+from ladiff_tpu.data.synthetic import generate_synthetic_dataset
+from ladiff_tpu.data.word_vectorizer import HashWordVectorizer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class _FakeTextEncoder:
+    """Deterministic stand-in for CLIP: hash caption -> [B, 1, D]."""
+
+    def __init__(self, dim=48):
+        self.dim = dim
+
+    def __call__(self, texts):
+        import hashlib
+        out = np.zeros((len(texts), 1, self.dim), np.float32)
+        for i, t in enumerate(texts):
+            seed = int.from_bytes(hashlib.sha256(t.encode()).digest()[:4],
+                                  "little")
+            out[i, 0] = np.random.RandomState(seed).randn(self.dim)
+        return out
+
+
+def _tiny_cfg(tmp_root, stage):
+    name = ("config_vae_humanml3d.yaml" if stage == "vae"
+            else "config_ladiff_humanml3d.yaml")
+    cfg = assemble_config(
+        os.path.join(REPO, "configs", name),
+        os.path.join(REPO, "configs", "assets.yaml"),
+        overrides={
+            "DEBUG": False,
+            "FOLDER": str(tmp_root / "experiments"),
+            "NAME": f"it_{stage}",
+            "TRAIN": {"BATCH_SIZE": 8, "END_EPOCH": 2},
+            "TEST": {"BATCH_SIZE": 8, "REPLICATION_TIMES": 1,
+                     "MM_NUM_SAMPLES": 2, "MM_NUM_REPEATS": 12,
+                     "MM_NUM_TIMES": 4, "DIVERSITY_TIMES": 5},
+            "model": {
+                "num_layers": 3, "ff_size": 64, "latent_dim": [7, 32],
+                "denoiser": {"params": {"text_encoded_dim": 48}},
+                "scheduler": {"num_inference_timesteps": 3},
+            },
+            "LOGGER": {"SACE_CHECKPOINT_EPOCH": 2, "VAL_EVERY_STEPS": 1},
+        })
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def pipeline_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipeline")
+    generate_synthetic_dataset(str(root / "data"), n_clips=48, seed=0)
+    return root
+
+
+@pytest.fixture(scope="module")
+def dm(pipeline_root):
+    return T2MDataModule("humanml3d", str(pipeline_root / "data"),
+                         HashWordVectorizer(), batch_size=8)
+
+
+def test_full_two_stage_pipeline(pipeline_root, dm):
+    from ladiff_tpu.training.loop import run_training
+    from ladiff_tpu.utils.logger import create_logger
+
+    # ---- stage 1
+    cfg1 = _tiny_cfg(pipeline_root, "vae")
+    logger = create_logger(cfg1, phase="train")
+    logger.setLevel(logging.WARNING)
+    vae_ckpt_dir = run_training(cfg1, dm, logger, max_steps_per_epoch=3)
+    assert os.path.isdir(vae_ckpt_dir)
+    assert any(n.startswith("epoch_") for n in os.listdir(vae_ckpt_dir))
+
+    # ---- stage 2 (frozen stage-1 VAE)
+    cfg2 = _tiny_cfg(pipeline_root, "diffusion")
+    cfg2.TRAIN.PRETRAINED_VAE = vae_ckpt_dir
+    logger2 = create_logger(cfg2, phase="train")
+    logger2.setLevel(logging.WARNING)
+    diff_ckpt_dir = run_training(cfg2, dm, logger2,
+                                 text_encoder=_FakeTextEncoder(48),
+                                 max_steps_per_epoch=3)
+    assert any(n.startswith("epoch_") for n in os.listdir(diff_ckpt_dir))
+
+    # ---- benchmark eval (test.py protocol)
+    from test import run_test
+    cfg2.TEST.CHECKPOINTS = diff_ckpt_dir
+    summary = run_test(cfg2, logger2, datamodule=dm,
+                       text_encoder=_FakeTextEncoder(48))
+    assert "Matching_score" in summary or "APE_root" in summary
+    for k, (mean, conf) in summary.items():
+        assert np.isfinite(mean), (k, mean)
+
+    # ---- resume path: restart stage 2 from its own checkpoint
+    cfg2.TRAIN.RESUME = diff_ckpt_dir
+    cfg2.TRAIN.END_EPOCH = 3
+    run_training(cfg2, dm, logger2, text_encoder=_FakeTextEncoder(48),
+                 max_steps_per_epoch=2)
+
+
+def test_vae_stage_eval(pipeline_root, dm):
+    """VAE-stage benchmark path (reconstruction metrics incl. MRMetrics)."""
+    from test import run_test
+    from ladiff_tpu.utils.logger import create_logger
+
+    cfg = _tiny_cfg(pipeline_root, "vae")
+    ckpt_dir = os.path.join(str(pipeline_root / "experiments"), "ladiff",
+                            "it_vae", "checkpoints")
+    if not os.path.isdir(ckpt_dir):
+        pytest.skip("stage-1 test must run first")
+    cfg.TEST.CHECKPOINTS = ckpt_dir
+    logger = create_logger(cfg, phase="test")
+    logger.setLevel(logging.WARNING)
+    summary = run_test(cfg, logger, datamodule=dm,
+                       text_encoder=_FakeTextEncoder(48))
+    assert "MPJPE" in summary
+    assert np.isfinite(summary["MPJPE"][0])
