@@ -41,6 +41,10 @@ def main():
         mean=np.zeros(nfeats, np.float32), std=np.ones(nfeats, np.float32),
         dtype=dtype)
     params = system.init_params(jax.random.PRNGKey(0))
+    # cast params to bf16 once: avoids a full f32->bf16 weight cast on every
+    # one of the 50 scan steps (saves HBM bandwidth)
+    params = jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
 
     @jax.jit
     def run(params, text_cond, text_uncond, lengths, rng):

@@ -20,7 +20,7 @@ __all__ = ["ddim_sample", "make_cfg_denoise_fn"]
 
 
 def make_cfg_denoise_fn(
-    denoise_fn: Callable[[jax.Array, jax.Array, jax.Array, Optional[jax.Array]], jax.Array],
+    denoise_fn: Callable[..., jax.Array],
     text_emb_uncond: jax.Array,
     text_emb_cond: jax.Array,
     guidance_scale: float,
@@ -29,11 +29,14 @@ def make_cfg_denoise_fn(
 
     The reference doubles the batch ([uncond; cond], ladiff.py:470-490); we
     do the same inside jit — one denoiser call on 2B, then a fused combine.
+    ``denoise_fn(latents, t, text, valid, aux)`` receives the per-step
+    ``aux`` value scanned through by ``ddim_sample`` (e.g. a precomputed
+    time-embedding row).
     """
     do_cfg = guidance_scale > 1.0
 
     def fn(latents: jax.Array, timestep: jax.Array,
-           latent_valid: Optional[jax.Array]) -> jax.Array:
+           latent_valid: Optional[jax.Array], aux=None) -> jax.Array:
         B = latents.shape[0]
         if do_cfg:
             model_in = jnp.concatenate([latents, latents], axis=0)
@@ -41,11 +44,11 @@ def make_cfg_denoise_fn(
             valid = (None if latent_valid is None
                      else jnp.concatenate([latent_valid, latent_valid], axis=0))
             t = jnp.broadcast_to(timestep, (2 * B,))
-            out = denoise_fn(model_in, t, text, valid)
+            out = denoise_fn(model_in, t, text, valid, aux)
             eps_uncond, eps_text = out[:B], out[B:]
             return eps_uncond + guidance_scale * (eps_text - eps_uncond)
         t = jnp.broadcast_to(timestep, (B,))
-        return denoise_fn(latents, t, text_emb_cond, latent_valid)
+        return denoise_fn(latents, t, text_emb_cond, latent_valid, aux)
 
     return fn
 
@@ -60,6 +63,7 @@ def ddim_sample(
     latent_valid: Optional[jax.Array] = None,
     eta: float = 0.0,
     steps_offset: int = 1,
+    step_aux=None,
 ) -> jax.Array:
     """Full DDIM reverse process as a single scan.
 
@@ -79,10 +83,10 @@ def ddim_sample(
     ts = jnp.asarray(ts)
     prev_ts = jnp.asarray(prev_ts)
 
-    def step(carry, t_pair):
+    def step(carry, scanned):
         latents, rng = carry
-        t, t_prev = t_pair
-        eps = guided_denoise_fn(latents, t, latent_valid)
+        t, t_prev, aux = scanned
+        eps = guided_denoise_fn(latents, t, latent_valid, aux)
         if eta > 0.0:
             rng, step_rng = jax.random.split(rng)
             noise = jax.random.normal(step_rng, latents.shape, latents.dtype)
@@ -94,5 +98,8 @@ def ddim_sample(
             latents = jnp.where(latent_valid[:, :, None], latents, 0.0)
         return (latents, rng), None
 
-    (latents, _), _ = jax.lax.scan(step, (latents, noise_rng), (ts, prev_ts))
+    if step_aux is None:
+        step_aux = jnp.zeros((len(ts),), jnp.int32)  # dummy scanned value
+    (latents, _), _ = jax.lax.scan(step, (latents, noise_rng),
+                                   (ts, prev_ts, step_aux))
     return latents

@@ -133,20 +133,9 @@ class LADenoiser(nn.Module):
                 self.activation, self.normalize_before, dtype=self.dtype,
                 name="encoder")
 
-    def __call__(
-        self,
-        sample: jax.Array,                 # [B, n_lat, D] noisy latents
-        timesteps: jax.Array,              # [B] int
-        encoder_hidden_states: jax.Array,  # [B, N, 768] text emb (or [B] ids)
-        latent_valid: Optional[jax.Array] = None,  # [B, n_lat] bool
-        enclat: Optional[jax.Array] = None,        # [B, n_cond, D]
-        frame_valid: Optional[jax.Array] = None,   # diffusion-only path
-        deterministic: bool = True,
-    ) -> jax.Array:
-        B, n_lat, _ = sample.shape
-        sample = sample.astype(self.dtype)
-
-        # 1. time embedding: sinusoid at text_encoded_dim -> MLP -> D
+    def compute_time_embedding(self, timesteps: jax.Array) -> jax.Array:
+        """[N] timesteps -> [N, D] embedded; exposed so samplers can build
+        the whole table once outside the scan (all DDIM steps are known)."""
         sin_dim = (self.text_encoded_dim
                    if self.condition in ("text", "text_uncond")
                    else self.d_model)
@@ -154,15 +143,41 @@ class LADenoiser(nn.Module):
             timesteps, sin_dim,
             flip_sin_to_cos=self.flip_sin_to_cos,
             downscale_freq_shift=float(self.freq_shift)).astype(self.dtype)
-        time_emb = self.time_embedding(t_emb)  # [B, D]
+        return self.time_embedding(t_emb)
+
+    def project_text(self, encoder_hidden_states: jax.Array) -> jax.Array:
+        """[B, N, 768] raw text features -> [B, N, D]; step-invariant, so
+        samplers call it once instead of per diffusion step."""
+        text = encoder_hidden_states.astype(self.dtype)
+        if self.text_encoded_dim != self.d_model:
+            return self.emb_proj(nn.relu(text))
+        return text
+
+    def __call__(
+        self,
+        sample: jax.Array,                 # [B, n_lat, D] noisy latents
+        timesteps: Optional[jax.Array] = None,     # [B] int
+        encoder_hidden_states: Optional[jax.Array] = None,  # [B, N, 768]
+        latent_valid: Optional[jax.Array] = None,  # [B, n_lat] bool
+        enclat: Optional[jax.Array] = None,        # [B, n_cond, D]
+        frame_valid: Optional[jax.Array] = None,   # diffusion-only path
+        deterministic: bool = True,
+        time_emb: Optional[jax.Array] = None,          # [B, D] precomputed
+        text_emb_latent: Optional[jax.Array] = None,   # [B, N, D] precomputed
+    ) -> jax.Array:
+        B, n_lat, _ = sample.shape
+        sample = sample.astype(self.dtype)
+
+        # 1. time embedding (or precomputed row from the sampler's table)
+        if time_emb is None:
+            time_emb = self.compute_time_embedding(timesteps)  # [B, D]
+        time_emb = time_emb.astype(self.dtype)
 
         # 2. condition embedding
-        if self.condition in ("text", "text_uncond"):
-            text = encoder_hidden_states.astype(self.dtype)
-            if self.text_encoded_dim != self.d_model:
-                text_emb_latent = self.emb_proj(nn.relu(text))
-            else:
-                text_emb_latent = text  # [B, N, D]
+        if text_emb_latent is not None:
+            text_emb_latent = text_emb_latent.astype(self.dtype)
+        elif self.condition in ("text", "text_uncond"):
+            text_emb_latent = self.project_text(encoder_hidden_states)
         else:
             rng = (self.make_rng("cond_drop")
                    if not deterministic else None)

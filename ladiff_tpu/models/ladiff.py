@@ -240,18 +240,33 @@ class LADiffSystem:
         lat_valid = (latent_valid_mask(lengths, self.frame_per_latent,
                                        self.max_it)
                      if self.lad else None)
-
-        def denoise(latents, t, text, valid):
-            return self.denoiser.apply(
-                {"params": den_params}, latents, t, text, valid,
-                deterministic=True)
-
-        guided = make_cfg_denoise_fn(denoise, text_emb_uncond, text_emb_cond,
-                                     self.guidance_scale)
         steps = num_inference_timesteps or self.num_inference_timesteps
+
+        denoiser = self.denoiser
+        # hoist step-invariant work out of the scan: text projection (once)
+        # and the full timestep-embedding table (all DDIM steps are static)
+        text_cond_l = denoiser.apply({"params": den_params}, text_emb_cond,
+                                     method=denoiser.project_text)
+        text_uncond_l = denoiser.apply({"params": den_params}, text_emb_uncond,
+                                       method=denoiser.project_text)
+        from ladiff_tpu.diffusion.schedulers import ddim_timesteps
+        ts_np, _ = ddim_timesteps(self.schedule.num_train_timesteps, steps)
+        time_table = denoiser.apply(
+            {"params": den_params}, jnp.asarray(ts_np),
+            method=denoiser.compute_time_embedding)  # [steps, D]
+
+        def denoise(latents, t, text, valid, time_row):
+            time_emb = jnp.broadcast_to(time_row[None, :],
+                                        (latents.shape[0], time_row.shape[0]))
+            return denoiser.apply(
+                {"params": den_params}, latents, None, None, valid,
+                deterministic=True, time_emb=time_emb, text_emb_latent=text)
+
+        guided = make_cfg_denoise_fn(denoise, text_uncond_l, text_cond_l,
+                                     self.guidance_scale)
         return ddim_sample(
             guided, self.schedule, rng, (B, self.max_it, D), steps,
-            latent_valid=lat_valid, eta=self.eta)
+            latent_valid=lat_valid, eta=self.eta, step_aux=time_table)
 
     def generate(self, params, text_emb_cond, text_emb_uncond, lengths, rng,
                  nframes: Optional[int] = None,

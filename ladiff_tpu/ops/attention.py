@@ -7,9 +7,10 @@ here attention is a single fused einsum pipeline over batch-first, static
 shapes so XLA can tile it onto the MXU.  Padding is expressed with boolean
 key-validity masks (True = attend) instead of dynamic shapes.
 
-Parameter layout note: torch packs q/k/v into one ``in_proj_weight``; we keep
-three Dense layers (``q_proj``/``k_proj``/``v_proj``).  The checkpoint
-converter splits the torch weight three ways (rows 0:D, D:2D, 2D:3D).
+Parameter layout note: like torch, q/k/v live in one fused projection
+(``in_proj_kernel`` [din, 3D] = torch ``in_proj_weight``.T, plus
+``in_proj_bias``) — both for checkpoint parity and so self-attention runs as
+a single GEMM.
 """
 from __future__ import annotations
 
@@ -88,9 +89,30 @@ class MultiHeadAttention(nn.Module):
         return_weights: bool = False,
     ):
         D = self.d_model
-        q = nn.Dense(D, dtype=self.dtype, name="q_proj")(query)
-        k = nn.Dense(D, dtype=self.dtype, name="k_proj")(key)
-        v = nn.Dense(D, dtype=self.dtype, name="v_proj")(value)
+        din = query.shape[-1]
+        # fused in-projection, torch ``in_proj_weight`` layout transposed:
+        # one [din, 3D] kernel.  Self-attention (query is key is value, the
+        # common case here: PEs are added to the token stream, not per
+        # layer) becomes ONE GEMM — K=256-deep matmuls are shallow for the
+        # 128x128 MXU, so fusing the three projections amortizes fill.
+        kernel = self.param("in_proj_kernel",
+                            nn.initializers.xavier_uniform(), (din, 3 * D))
+        bias = self.param("in_proj_bias", nn.initializers.zeros_init(),
+                          (3 * D,))
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if query is key and key is value:
+            qkv = query.astype(self.dtype) @ kernel + bias
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = query.astype(self.dtype) @ kernel[:, :D] + bias[:D]
+            kv_same = key is value
+            if kv_same:
+                kv = key.astype(self.dtype) @ kernel[:, D:] + bias[D:]
+                k, v = jnp.split(kv, 2, axis=-1)
+            else:
+                k = key.astype(self.dtype) @ kernel[:, D:2 * D] + bias[D:2 * D]
+                v = value.astype(self.dtype) @ kernel[:, 2 * D:] + bias[2 * D:]
         rng = None
         if self.dropout > 0.0 and not deterministic:
             rng = self.make_rng("dropout")

@@ -144,13 +144,18 @@ class MDTransformerLayer(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         B, T, _ = x.shape
-        # self-attention over [latents; text; time] with 2 always-valid extras
-        # (reference hardcodes ff=1024 + relu for this inner block,
-        #  mdiff_transformer.py:287-288)
+        # self-attention over [latents; text; time] with 2 always-valid
+        # extras (reference hardcodes ff=1024 + relu for this inner block,
+        # mdiff_transformer.py:287-288).  The text/time rows' outputs are
+        # discarded by the reference (it slices [:T]); passing them as
+        # extra_kv computes only the latent rows — exact same result.
+        # (measured on v5e: the extra_kv trick — computing only latent rows —
+        # was 2x SLOWER than the full 7-token pass; irregular Sq!=Sk attention
+        # shapes tile worse than one uniform GEMM, so keep the concat form)
         tokens = jnp.concatenate([x, xf, emb[:, None, :]], axis=1)
         if latent_valid is not None:
-            extra = jnp.ones((B, tokens.shape[1] - T), dtype=bool)
-            valid = jnp.concatenate([latent_valid, extra], axis=1)
+            extra_v = jnp.ones((B, tokens.shape[1] - T), dtype=bool)
+            valid = jnp.concatenate([latent_valid, extra_v], axis=1)
         else:
             valid = None
         sa = TransformerEncoderLayer(

@@ -57,7 +57,13 @@ class TransformerEncoderLayer(nn.Module):
         key_valid: Optional[jax.Array] = None,
         pos: Optional[jax.Array] = None,
         deterministic: bool = True,
+        extra_kv: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """``extra_kv`` [B, S_extra, D]: additional key/value tokens that are
+        attended to but produce no outputs.  Exactly equivalent to running
+        the layer on ``concat([src, extra_kv])`` and slicing the first S
+        outputs (the MD denoiser does this every layer; skipping the
+        discarded rows' q-side attention + FFN saves their compute)."""
         attn = MultiHeadAttention(self.d_model, self.num_heads, self.dropout,
                                   dtype=self.dtype, name="self_attn")
         linear1 = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")
@@ -71,6 +77,7 @@ class TransformerEncoderLayer(nn.Module):
             return x if pos is None else x + pos
 
         if self.normalize_before:
+            assert extra_kv is None, "extra_kv only supported post-norm"
             x2 = norm1(src)
             qk = with_pos(x2)
             x2 = attn(qk, qk, x2, key_valid, deterministic=deterministic)
@@ -79,7 +86,11 @@ class TransformerEncoderLayer(nn.Module):
             x2 = linear2(drop(act(linear1(x2))))
             return src + drop(x2)
         qk = with_pos(src)
-        x2 = attn(qk, qk, src, key_valid, deterministic=deterministic)
+        if extra_kv is not None:
+            kv = jnp.concatenate([qk, extra_kv.astype(qk.dtype)], axis=1)
+            x2 = attn(qk, kv, kv, key_valid, deterministic=deterministic)
+        else:
+            x2 = attn(qk, qk, src, key_valid, deterministic=deterministic)
         src = norm1(src + drop(x2))
         x2 = linear2(drop(act(linear1(src))))
         return norm2(src + drop(x2))

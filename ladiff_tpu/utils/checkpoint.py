@@ -87,14 +87,10 @@ def _ln(sd, key):
 
 
 def _mha(sd, key):
-    """torch fused in_proj -> split q/k/v + out projection."""
-    w = np.asarray(sd[key + ".in_proj_weight"])
-    b = np.asarray(sd[key + ".in_proj_bias"])
-    D = w.shape[0] // 3
+    """torch fused in_proj -> our fused layout (kernel transposed)."""
     return {
-        "q_proj": {"kernel": w[:D].T, "bias": b[:D]},
-        "k_proj": {"kernel": w[D:2 * D].T, "bias": b[D:2 * D]},
-        "v_proj": {"kernel": w[2 * D:].T, "bias": b[2 * D:]},
+        "in_proj_kernel": np.asarray(sd[key + ".in_proj_weight"]).T,
+        "in_proj_bias": np.asarray(sd[key + ".in_proj_bias"]),
         "out_proj": _dense(sd, key + ".out_proj"),
     }
 

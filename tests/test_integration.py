@@ -18,6 +18,17 @@ from ladiff_tpu.data.word_vectorizer import HashWordVectorizer
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _load_run_test():
+    """Import run_test from the repo-root test.py by path (other tests put
+    /root/reference/src on sys.path, whose test.py would shadow ours)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ladiff_tpu_test_entry", os.path.join(REPO, "test.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.run_test
+
+
 class _FakeTextEncoder:
     """Deterministic stand-in for CLIP: hash caption -> [B, 1, D]."""
 
@@ -94,7 +105,7 @@ def test_full_two_stage_pipeline(pipeline_root, dm):
     assert any(n.startswith("epoch_") for n in os.listdir(diff_ckpt_dir))
 
     # ---- benchmark eval (test.py protocol)
-    from test import run_test
+    run_test = _load_run_test()
     cfg2.TEST.CHECKPOINTS = diff_ckpt_dir
     summary = run_test(cfg2, logger2, datamodule=dm,
                        text_encoder=_FakeTextEncoder(48))
@@ -111,7 +122,7 @@ def test_full_two_stage_pipeline(pipeline_root, dm):
 
 def test_vae_stage_eval(pipeline_root, dm):
     """VAE-stage benchmark path (reconstruction metrics incl. MRMetrics)."""
-    from test import run_test
+    run_test = _load_run_test()
     from ladiff_tpu.utils.logger import create_logger
 
     cfg = _tiny_cfg(pipeline_root, "vae")

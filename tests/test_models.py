@@ -134,7 +134,7 @@ def test_ddim_sample_respects_latent_mask_and_is_deterministic():
     B, D_ = 3, 8
     valid = latent_valid_mask(jnp.array([196, 60, 48]), 48, MAX_IT)
 
-    def denoise(latents, t, text, lv):
+    def denoise(latents, t, text, lv, aux=None):
         return latents * 0.1  # dummy eps predictor
 
     guided = make_cfg_denoise_fn(denoise, jnp.zeros((B, 1, 4)),

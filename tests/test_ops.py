@@ -39,14 +39,9 @@ def test_mha_matches_torch():
     tm = torch.nn.MultiheadAttention(D, H, dropout=0.0, batch_first=True)
     p = params["params"]
     with torch.no_grad():
-        w_q = np.asarray(p["q_proj"]["kernel"]).T
-        w_k = np.asarray(p["k_proj"]["kernel"]).T
-        w_v = np.asarray(p["v_proj"]["kernel"]).T
-        tm.in_proj_weight.copy_(torch.tensor(np.concatenate([w_q, w_k, w_v], 0)))
-        tm.in_proj_bias.copy_(torch.tensor(np.concatenate([
-            np.asarray(p["q_proj"]["bias"]),
-            np.asarray(p["k_proj"]["bias"]),
-            np.asarray(p["v_proj"]["bias"])])))
+        tm.in_proj_weight.copy_(
+            torch.tensor(np.asarray(p["in_proj_kernel"]).T))
+        tm.in_proj_bias.copy_(torch.tensor(np.asarray(p["in_proj_bias"])))
         tm.out_proj.weight.copy_(torch.tensor(np.asarray(p["out_proj"]["kernel"]).T))
         tm.out_proj.bias.copy_(torch.tensor(np.asarray(p["out_proj"]["bias"])))
 
