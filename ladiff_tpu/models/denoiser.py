@@ -164,6 +164,7 @@ class LADenoiser(nn.Module):
         deterministic: bool = True,
         time_emb: Optional[jax.Array] = None,          # [B, D] precomputed
         text_emb_latent: Optional[jax.Array] = None,   # [B, N, D] precomputed
+        enclat_valid: Optional[jax.Array] = None,      # [B, n_cond] bool
     ) -> jax.Array:
         B, n_lat, _ = sample.shape
         sample = sample.astype(self.dtype)
@@ -190,8 +191,11 @@ class LADenoiser(nn.Module):
 
         if enclat is not None:
             stream = jnp.concatenate([sample, enclat.astype(self.dtype)], axis=1)
-            if latent_valid is not None:
-                cond_valid = jnp.ones((B, enclat.shape[1]), dtype=bool)
+            if latent_valid is not None or enclat_valid is not None:
+                if latent_valid is None:
+                    latent_valid = jnp.ones((B, n_lat), dtype=bool)
+                cond_valid = (enclat_valid if enclat_valid is not None
+                              else jnp.ones((B, enclat.shape[1]), dtype=bool))
                 stream_valid = jnp.concatenate([latent_valid, cond_valid], axis=1)
             else:
                 stream_valid = None
@@ -214,7 +218,16 @@ class LADenoiser(nn.Module):
             else:
                 xseq = jnp.concatenate([stream, emb_tokens], axis=1)
             xseq = self.query_pos(xseq)
-            tokens = self.encoder(xseq, None, deterministic=deterministic)
+            # reference passes no padding mask on this path; a mask appears
+            # only when static-shape AR conditioning needs invalid enclat
+            # rows hidden (the reference instead drops the tokens entirely)
+            if enclat_valid is not None and stream_valid is not None:
+                emb_valid = jnp.ones((B, emb_tokens.shape[1]), dtype=bool)
+                xseq_valid = (jnp.concatenate([stream_valid, emb_valid], axis=1)
+                              if not self.diffusion_only else None)
+            else:
+                xseq_valid = None
+            tokens = self.encoder(xseq, xseq_valid, deterministic=deterministic)
             if self.diffusion_only:
                 out = tokens[:, emb_tokens.shape[1]:]
                 out = self.pose_proj(out)

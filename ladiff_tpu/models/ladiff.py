@@ -62,6 +62,8 @@ class LADiffSystem:
     num_inference_timesteps: int = 50
     eta: float = 0.0
     num_train_timesteps: int = 1000
+    ardiff: bool = False
+    motion_conditioning: str = "last"
     weights: LossWeights = dataclasses.field(default_factory=LossWeights)
     # feature normalization stats (set by the datamodule)
     mean: Optional[jnp.ndarray] = None
@@ -100,6 +102,8 @@ class LADiffSystem:
             eta=float(sched.get("eta", 0.0)),
             num_train_timesteps=int(
                 (sched.get("params") or {}).get("num_train_timesteps", 1000)),
+            ardiff=bool(cfg.get("ARDIFF", False)),
+            motion_conditioning=str(m.get("motion_conditioning", "last")),
             weights=LossWeights.from_cfg(cfg),
             mean=None if mean is None else jnp.asarray(mean),
             std=None if std is None else jnp.asarray(std),
@@ -268,11 +272,161 @@ class LADiffSystem:
             guided, self.schedule, rng, (B, self.max_it, D), steps,
             latent_valid=lat_valid, eta=self.eta, step_aux=time_table)
 
+    def diffusion_reverse_ar(self, den_params, text_emb_cond: jax.Array,
+                             text_emb_uncond: jax.Array, lengths: jax.Array,
+                             rng: jax.Array,
+                             num_inference_timesteps: Optional[int] = None):
+        """Autoregressive variant: denoise one latent token at a time,
+        conditioned on previously generated tokens
+        (reference _diffusion_reverse ARDIFF path, ladiff.py:419-467;
+        ``motion_conditioning`` last|full, config :135).
+
+        Static-shape recast: an outer scan over all MAX_IT token positions
+        with validity-masked conditioning replaces the reference's Python
+        loop over ``ceil(max(lengths)/FRAME_PER_LATENT)`` iterations; rows
+        beyond a sample's active count are zeroed at the end exactly as the
+        reference does (ladiff.py:562-569)."""
+        from ladiff_tpu.diffusion.schedulers import ddim_timesteps
+
+        B = text_emb_cond.shape[0]
+        D = self.latent_dim[-1]
+        M = self.max_it
+        schedule = self.schedule
+        steps = num_inference_timesteps or self.num_inference_timesteps
+        denoiser = self.denoiser
+        lat_valid = latent_valid_mask(lengths, self.frame_per_latent, M)
+
+        text_cond_l = denoiser.apply({"params": den_params}, text_emb_cond,
+                                     method=denoiser.project_text)
+        text_uncond_l = denoiser.apply({"params": den_params}, text_emb_uncond,
+                                       method=denoiser.project_text)
+        ts_np, prev_np = ddim_timesteps(schedule.num_train_timesteps, steps)
+        ts = jnp.asarray(ts_np)
+        prev_ts = jnp.asarray(prev_np)
+        time_table = denoiser.apply(
+            {"params": den_params}, ts, method=denoiser.compute_time_embedding)
+        do_cfg = self.guidance_scale > 1.0
+        text2 = (jnp.concatenate([text_uncond_l, text_cond_l], axis=0)
+                 if do_cfg else text_cond_l)
+
+        def denoise_token(latents, enclat, enclat_valid, time_row):
+            b = latents.shape[0]
+            if do_cfg:
+                model_in = jnp.concatenate([latents, latents], axis=0)
+                enc2 = jnp.concatenate([enclat, enclat], axis=0)
+                encv2 = jnp.concatenate([enclat_valid, enclat_valid], axis=0)
+                te = jnp.broadcast_to(time_row[None], (2 * b, time_row.shape[0]))
+                eps = denoiser.apply(
+                    {"params": den_params}, model_in, None, None, None,
+                    enclat=enc2, enclat_valid=encv2, deterministic=True,
+                    time_emb=te, text_emb_latent=text2)
+                eps_u, eps_t = eps[:b], eps[b:]
+                return eps_u + self.guidance_scale * (eps_t - eps_u)
+            te = jnp.broadcast_to(time_row[None], (b, time_row.shape[0]))
+            return denoiser.apply(
+                {"params": den_params}, latents, None, None, None,
+                enclat=enclat, enclat_valid=enclat_valid, deterministic=True,
+                time_emb=te, text_emb_latent=text2)
+
+        def token_step(carry, k):
+            final, rng = carry
+            rng, init_rng = jax.random.split(rng)
+            latents = jax.random.normal(init_rng, (B, 1, D), jnp.float32)
+            latents = latents * schedule.init_noise_sigma
+            if self.motion_conditioning == "last":
+                prev_idx = jnp.maximum(k - 1, 0)
+                enclat = jax.lax.dynamic_slice(final, (0, prev_idx, 0),
+                                               (B, 1, D))
+                enclat_valid = jnp.broadcast_to((k > 0)[None, None], (B, 1))
+            else:  # "full" (and "middle" future-conditioning reduces to it
+                   # at inference: reference uses only past tokens)
+                enclat = final
+                enclat_valid = jnp.broadcast_to(
+                    (jnp.arange(M)[None, :] < k), (B, M))
+
+            def ddim_step(lat, scanned):
+                t, t_prev, time_row = scanned
+                eps = denoise_token(lat, enclat, enclat_valid, time_row)
+                return schedule.ddim_step(eps, t, t_prev, lat,
+                                          eta=self.eta), None
+
+            latents, _ = jax.lax.scan(ddim_step, latents,
+                                      (ts, prev_ts, time_table))
+            final = jax.lax.dynamic_update_slice(final, latents, (0, k, 0))
+            return (final, rng), None
+
+        final0 = jnp.zeros((B, M, D), jnp.float32)
+        (final, _), _ = jax.lax.scan(token_step, (final0, rng), jnp.arange(M))
+        return jnp.where(lat_valid[:, :, None], final, 0.0)
+
+    def diffusion_forward_ar(self, den_params, vae_params,
+                             batch: Dict[str, jax.Array], rng: jax.Array,
+                             uncond_emb: jax.Array, train: bool = True):
+        """AR training pass (reference train_diffusion_forward ARDIFF branch,
+        ladiff.py:944-1029): diffuse one randomly chosen latent token,
+        conditioned on its predecessor; with p=1/3 train the first token
+        unconditioned."""
+        feats_ref = batch["motion"]
+        lengths = batch["length"]
+        text_emb = batch["text_emb"]
+        B = feats_ref.shape[0]
+        (enc_rng, t_rng, n_rng, cfg_rng, drop_rng, idx_rng,
+         coin_rng) = jax.random.split(rng, 7)
+
+        z, _, _, lat_valid = self.vae.apply(
+            {"params": vae_params}, feats_ref, lengths,
+            rng=enc_rng, deterministic=True, method=self.vae.encode)
+        z = jax.lax.stop_gradient(z)
+        n_active = lat_valid.sum(axis=1)
+
+        if train and self.guidance_uncondp > 0.0:
+            drop = jax.random.bernoulli(cfg_rng, self.guidance_uncondp,
+                                        (B, 1, 1))
+            text_emb = jnp.where(drop, uncond_emb.astype(text_emb.dtype),
+                                 text_emb)
+
+        # latent_idx ~ U{1, ..., n_active-1} (samples with a single active
+        # token train the first token unconditioned)
+        u = jax.random.uniform(idx_rng, (B,))
+        hi = jnp.maximum(n_active - 1, 1)
+        latent_idx = 1 + jnp.floor(u * hi).astype(jnp.int32)
+        latent_idx = jnp.minimum(latent_idx, jnp.maximum(n_active - 1, 0))
+        coin = jax.random.uniform(coin_rng, ()) < (1.0 / 3.0)
+        latent_idx = jnp.where(coin | (n_active <= 1), 0, latent_idx)
+
+        take = lambda arr, idx: jnp.take_along_axis(
+            arr, idx[:, None, None], axis=1)
+        z_tok = take(z, latent_idx)                      # [B, 1, D]
+        cond_tok = take(z, jnp.maximum(latent_idx - 1, 0))
+        cond_valid = (latent_idx > 0)[:, None]           # [B, 1]
+
+        schedule = self.schedule
+        noise = jax.random.normal(n_rng, z_tok.shape, z_tok.dtype)
+        timesteps = jax.random.randint(t_rng, (B,), 0,
+                                       schedule.num_train_timesteps)
+        noisy = schedule.add_noise(z_tok, noise, timesteps)
+
+        noise_pred = self.denoiser.apply(
+            {"params": den_params}, noisy, timesteps, text_emb, None,
+            enclat=cond_tok, enclat_valid=cond_valid,
+            deterministic=not train,
+            rngs={"dropout": drop_rng} if train else {})
+
+        if self.predict_epsilon:
+            total, logs = diffusion_loss(noise_pred, noise)
+        else:
+            total, logs = diffusion_loss(noise_pred, noise,
+                                         predict_epsilon=False,
+                                         x0_pred=noise_pred, x0=z_tok)
+        return total, (logs, {"latent_valid": lat_valid})
+
     def generate(self, params, text_emb_cond, text_emb_uncond, lengths, rng,
                  nframes: Optional[int] = None,
                  num_inference_timesteps: Optional[int] = None):
         """text embeddings -> motion features (reference forward :250-308)."""
-        z = self.diffusion_reverse(
+        reverse = (self.diffusion_reverse_ar if self.ardiff
+                   else self.diffusion_reverse)
+        z = reverse(
             params["denoiser"], text_emb_cond, text_emb_uncond, lengths, rng,
             num_inference_timesteps)
         feats = self.vae.apply(

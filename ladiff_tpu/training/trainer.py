@@ -83,9 +83,12 @@ def make_diffusion_train_step(system: LADiffSystem, mesh: Mesh,
     vae_params = jax.device_put(vae_params, repl)
     uncond_emb = jax.device_put(jnp.asarray(uncond_emb), repl)
 
+    forward = (system.diffusion_forward_ar if system.ardiff
+               else system.diffusion_forward)
+
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         def loss_fn(params):
-            total, (logs, _) = system.diffusion_forward(
+            total, (logs, _) = forward(
                 params, vae_params, batch, rng, uncond_emb, train=True)
             return total, logs
 
