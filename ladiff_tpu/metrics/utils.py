@@ -51,8 +51,8 @@ def _sqrtm_product(sigma1: np.ndarray, sigma2: np.ndarray) -> np.ndarray:
     the PSD-symmetrized product otherwise."""
     try:
         from scipy import linalg
-        covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
-        return covmean
+        out = linalg.sqrtm(sigma1 @ sigma2)
+        return out[0] if isinstance(out, tuple) else out
     except ImportError:
         w = np.linalg.eigvals(sigma1 @ sigma2)
         return np.diag(np.sqrt(np.maximum(w.real, 0.0)))
