@@ -1,0 +1,86 @@
+"""Action-conditioned evaluation pipeline.
+
+Rebuild of the reference ``a2m_eval``
+(/root/reference/src/ladiff/models/modeltype/ladiff.py:1284-1326) and the
+HUMANACT/UESTC metric updates (allsplit_step :1470-1483): generate motions
+from action labels (CFG with zeroed action embedding as the unconditional
+branch), then run the frozen GRU / ST-GCN classifier on generated and
+ground-truth sequences and accumulate ActionClassifierMetrics.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladiff_tpu.models.classifiers import MotionDiscriminator, STGCN
+
+__all__ = ["make_a2m_eval_step", "run_a2m_eval"]
+
+
+def make_a2m_eval_step(system, vae, classifier, classifier_params,
+                       classifier_kind: str = "gru") -> Callable:
+    """jitted (params, batch, rng) -> features/logits for gen + gt.
+
+    ``system`` here is an action-conditioned LADiffSystem whose denoiser has
+    condition="action"; ``vae`` is the ActorVae.  The classifier consumes
+    [B, T, F] rot6d features (GRU flattens; STGCN reshapes to joints)."""
+
+    def classify(motion, lengths):
+        if classifier_kind == "gru":
+            feats, logits = classifier.apply(
+                {"params": classifier_params}, motion, lengths)
+        else:
+            B, T, F = motion.shape
+            x = motion.reshape(B, T, F // 6, 6)
+            feats, logits = classifier.apply(
+                {"params": classifier_params}, x)
+        return feats, logits
+
+    def step(params, batch, rng):
+        lengths = batch["length"]
+        actions = batch["action"][:, 0]
+        # CFG: zeroed action embedding as the unconditional branch
+        # (reference a2m_eval :1290-1291 + EmbedAction force mask)
+        den = system.denoiser
+        cond = den.apply({"params": params["denoiser"]}, actions,
+                         method=den.embed_action)
+        uncond = jnp.zeros_like(cond)
+        z = system.diffusion_reverse(
+            params["denoiser"], cond, uncond, lengths, rng)
+        feats_rst = vae.apply(
+            {"params": params["vae"]}, z, lengths,
+            nframes=batch["motion"].shape[1], deterministic=True,
+            method=vae.decode)
+        rec_f, rec_l = classify(feats_rst, lengths)
+        gt_f, gt_l = classify(batch["motion"], lengths)
+        return {"rec_feats": rec_f, "rec_logits": rec_l,
+                "gt_feats": gt_f, "gt_logits": gt_l,
+                "feats_rst": feats_rst}
+
+    return jax.jit(step)
+
+
+def run_a2m_eval(system, vae, params, dataset, classifier, classifier_params,
+                 metrics, batch_size: int = 32, num_frames: int = 60,
+                 classifier_kind: str = "gru", seed: int = 0):
+    """One full pass over an action dataset, accumulating metrics."""
+    from ladiff_tpu.data.a2m import a2m_collate
+
+    step = make_a2m_eval_step(system, vae, classifier, classifier_params,
+                              classifier_kind)
+    rng = jax.random.PRNGKey(seed)
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        items = [dataset[i] for i in range(start, min(start + batch_size, n))]
+        batch = a2m_collate(items, num_frames)
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                        if k != "action_text"}
+        rng, step_rng = jax.random.split(rng)
+        out = jax.device_get(step(params, device_batch, step_rng))
+        metrics.update(batch["action"], out["rec_feats"], out["rec_logits"],
+                       out["gt_feats"], out["gt_logits"],
+                       list(batch["length"]))
+    return metrics.compute()

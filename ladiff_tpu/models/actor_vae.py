@@ -83,7 +83,9 @@ class ActorVae(nn.Module):
             assert rng is not None
             z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(
                 rng, mu.shape, mu.dtype)
-        return z[:, None, :], mu, logvar  # z: [B, 1, D]
+        lat_valid = jnp.ones((B, 1), dtype=bool)
+        # 4-tuple matches LAVae.encode so the system layer is vae-agnostic
+        return z[:, None, :], mu[:, None, :], logvar[:, None, :], lat_valid
 
     def decode(self, z: jax.Array, lengths: jax.Array, *,
                nframes: int, deterministic: bool = True) -> jax.Array:
@@ -100,8 +102,8 @@ class ActorVae(nn.Module):
         return jnp.where(frame_valid[:, :, None], feats, 0.0)
 
     def __call__(self, features, lengths, rng, deterministic: bool = True):
-        z, mu, logvar = self.encode(features, lengths, rng=rng,
-                                    deterministic=deterministic)
+        z, mu, logvar, lat_valid = self.encode(features, lengths, rng=rng,
+                                               deterministic=deterministic)
         feats = self.decode(z, lengths, nframes=features.shape[1],
                             deterministic=deterministic)
-        return feats, z, mu, logvar
+        return feats, z, mu, logvar, lat_valid

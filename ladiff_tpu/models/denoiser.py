@@ -147,11 +147,18 @@ class LADenoiser(nn.Module):
 
     def project_text(self, encoder_hidden_states: jax.Array) -> jax.Array:
         """[B, N, 768] raw text features -> [B, N, D]; step-invariant, so
-        samplers call it once instead of per diffusion step."""
+        samplers call it once instead of per diffusion step.  Inputs already
+        at d_model (pre-projected, e.g. action embeddings) pass through."""
         text = encoder_hidden_states.astype(self.dtype)
-        if self.text_encoded_dim != self.d_model:
-            return self.emb_proj(nn.relu(text))
-        return text
+        if text.shape[-1] == self.d_model:
+            return text
+        return self.emb_proj(nn.relu(text))
+
+    def embed_action(self, action_ids: jax.Array,
+                     force_mask: bool = False) -> jax.Array:
+        """[B] class ids -> [B, 1, D] conditioning tokens; force_mask gives
+        the zeroed unconditional branch (reference EmbedAction:329-333)."""
+        return self.action_emb(action_ids, force_mask=force_mask)[:, None, :]
 
     def __call__(
         self,

@@ -64,6 +64,9 @@ class LADiffSystem:
     num_train_timesteps: int = 1000
     ardiff: bool = False
     motion_conditioning: str = "last"
+    condition: str = "text"
+    nclasses: int = 12
+    vae_type: str = "ladiff"
     weights: LossWeights = dataclasses.field(default_factory=LossWeights)
     # feature normalization stats (set by the datamodule)
     mean: Optional[jnp.ndarray] = None
@@ -104,6 +107,9 @@ class LADiffSystem:
                 (sched.get("params") or {}).get("num_train_timesteps", 1000)),
             ardiff=bool(cfg.get("ARDIFF", False)),
             motion_conditioning=str(m.get("motion_conditioning", "last")),
+            condition=str(m.get("condition", "text")),
+            nclasses=int(cfg.DATASET.get("NCLASSES", 12)),
+            vae_type=str(cfg.TRAIN.ABLATION.get("VAE_TYPE", "ladiff")),
             weights=LossWeights.from_cfg(cfg),
             mean=None if mean is None else jnp.asarray(mean),
             std=None if std is None else jnp.asarray(std),
@@ -112,7 +118,14 @@ class LADiffSystem:
 
     # -- module definitions --------------------------------------------
     @property
-    def vae(self) -> LAVae:
+    def vae(self):
+        if self.vae_type == "actor":
+            from ladiff_tpu.models.actor_vae import ActorVae
+            return ActorVae(
+                nfeats=self.nfeats, latent_dim=self.latent_dim,
+                ff_size=self.ff_size, num_layers=self.num_layers,
+                num_heads=self.num_heads, dropout=self.dropout,
+                dtype=self.dtype)
         return LAVae(
             nfeats=self.nfeats, latent_dim=self.latent_dim,
             ff_size=self.ff_size, num_layers=self.num_layers,
@@ -128,6 +141,7 @@ class LADiffSystem:
             ff_size=self.ff_size, num_layers=self.num_layers,
             num_heads=self.num_heads, dropout=self.dropout,
             text_encoded_dim=self.text_encoded_dim, md_trans=self.md_trans,
+            condition=self.condition, nclasses=self.nclasses,
             guidance_uncondp=self.guidance_uncondp, dtype=self.dtype)
 
     @property
@@ -143,11 +157,15 @@ class LADiffSystem:
         lengths = jnp.full((B,), T, jnp.int32)
         v_rng, d_rng, s_rng = jax.random.split(rng, 3)
         vae_params = self.vae.init(v_rng, feats, lengths, s_rng)["params"]
-        sample = jnp.zeros((B, self.max_it, self.latent_dim[-1]))
+        n_lat = self.max_it if self.max_it else int(self.latent_dim[0])
+        sample = jnp.zeros((B, n_lat, self.latent_dim[-1]))
         t = jnp.zeros((B,), jnp.int32)
-        text = jnp.zeros((B, 1, self.text_encoded_dim))
-        valid = jnp.ones((B, self.max_it), bool)
-        den_params = self.denoiser.init(d_rng, sample, t, text, valid)["params"]
+        if self.condition == "action":
+            cond = jnp.zeros((B,), jnp.int32)
+        else:
+            cond = jnp.zeros((B, 1, self.text_encoded_dim))
+        valid = jnp.ones((B, n_lat), bool) if self.max_it else None
+        den_params = self.denoiser.init(d_rng, sample, t, cond, valid)["params"]
         return {"vae": vae_params, "denoiser": den_params}
 
     # ------------------------------------------------------------------
@@ -241,9 +259,10 @@ class LADiffSystem:
         (reference _diffusion_reverse :333-571, non-AR path)."""
         B = text_emb_cond.shape[0]
         D = self.latent_dim[-1]
+        n_lat = self.max_it if self.max_it else int(self.latent_dim[0])
         lat_valid = (latent_valid_mask(lengths, self.frame_per_latent,
                                        self.max_it)
-                     if self.lad else None)
+                     if (self.lad and self.max_it) else None)
         steps = num_inference_timesteps or self.num_inference_timesteps
 
         denoiser = self.denoiser
@@ -269,7 +288,7 @@ class LADiffSystem:
         guided = make_cfg_denoise_fn(denoise, text_uncond_l, text_cond_l,
                                      self.guidance_scale)
         return ddim_sample(
-            guided, self.schedule, rng, (B, self.max_it, D), steps,
+            guided, self.schedule, rng, (B, n_lat, D), steps,
             latent_valid=lat_valid, eta=self.eta, step_aux=time_table)
 
     def diffusion_reverse_ar(self, den_params, text_emb_cond: jax.Array,

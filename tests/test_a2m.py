@@ -59,8 +59,8 @@ def test_actor_vae_roundtrip():
     lengths = jnp.array([60, 40])
     params = vae.init(jax.random.PRNGKey(1), feats, lengths,
                       jax.random.PRNGKey(2))
-    out, z, mu, logvar = vae.apply(params, feats, lengths,
-                                   jax.random.PRNGKey(3))
+    out, z, mu, logvar, lat_valid = vae.apply(params, feats, lengths,
+                                              jax.random.PRNGKey(3))
     assert out.shape == (2, 60, 150)
     assert z.shape == (2, 1, 32)
     assert np.abs(np.asarray(out[1, 40:])).max() == 0.0
