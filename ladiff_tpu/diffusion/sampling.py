@@ -64,6 +64,7 @@ def ddim_sample(
     eta: float = 0.0,
     steps_offset: int = 1,
     step_aux=None,
+    return_trajectory: bool = False,
 ) -> jax.Array:
     """Full DDIM reverse process as a single scan.
 
@@ -96,10 +97,14 @@ def ddim_sample(
                                      noise=noise)
         if latent_valid is not None:
             latents = jnp.where(latent_valid[:, :, None], latents, 0.0)
-        return (latents, rng), None
+        return (latents, rng), (latents if return_trajectory else None)
 
     if step_aux is None:
         step_aux = jnp.zeros((len(ts),), jnp.int32)  # dummy scanned value
-    (latents, _), _ = jax.lax.scan(step, (latents, noise_rng),
-                                   (ts, prev_ts, step_aux))
+    (latents, _), traj = jax.lax.scan(step, (latents, noise_rng),
+                                      (ts, prev_ts, step_aux))
+    if return_trajectory:
+        # [n_steps, B, n_lat, D] intermediate latents (reference
+        # _diffusion_reverse_tsne captures these, ladiff.py:573-743)
+        return latents, traj
     return latents

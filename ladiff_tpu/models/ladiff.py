@@ -254,9 +254,13 @@ class LADiffSystem:
     def diffusion_reverse(self, den_params, text_emb_cond: jax.Array,
                           text_emb_uncond: jax.Array, lengths: jax.Array,
                           rng: jax.Array,
-                          num_inference_timesteps: Optional[int] = None):
+                          num_inference_timesteps: Optional[int] = None,
+                          return_trajectory: bool = False):
         """CFG DDIM sampling of latents [B, max_it, D]
-        (reference _diffusion_reverse :333-571, non-AR path)."""
+        (reference _diffusion_reverse :333-571, non-AR path).
+        ``return_trajectory`` also yields the per-step latents
+        (reference _diffusion_reverse_tsne :573-743, used for the latent
+        t-SNE analysis script)."""
         B = text_emb_cond.shape[0]
         D = self.latent_dim[-1]
         n_lat = self.max_it if self.max_it else int(self.latent_dim[0])
@@ -289,7 +293,8 @@ class LADiffSystem:
                                      self.guidance_scale)
         return ddim_sample(
             guided, self.schedule, rng, (B, n_lat, D), steps,
-            latent_valid=lat_valid, eta=self.eta, step_aux=time_table)
+            latent_valid=lat_valid, eta=self.eta, step_aux=time_table,
+            return_trajectory=return_trajectory)
 
     def diffusion_reverse_ar(self, den_params, text_emb_cond: jax.Array,
                              text_emb_uncond: jax.Array, lengths: jax.Array,

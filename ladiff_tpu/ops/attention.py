@@ -24,6 +24,17 @@ __all__ = ["MultiHeadAttention", "masked_attention"]
 
 _NEG_INF = -1e9  # large finite negative: keeps softmax numerics safe in bf16
 
+# toggled by set_pallas_enabled.  Default OFF: measured on v5e, the fused
+# kernel matches the XLA pipeline at these shapes (decode 52ms both ways —
+# attention is not the bottleneck; FFN GEMMs are), so the simpler path wins.
+# The kernel remains available for larger-sequence variants.
+_PALLAS_ENABLED = False
+
+
+def set_pallas_enabled(enabled: bool) -> None:
+    global _PALLAS_ENABLED
+    _PALLAS_ENABLED = enabled
+
 
 def masked_attention(
     q: jax.Array,
@@ -48,6 +59,18 @@ def masked_attention(
     Sk = k.shape[1]
     H = num_heads
     Dh = D // H
+
+    # Pallas fused path: frame-length self-attention on TPU (keeps the
+    # [S, S] logits in VMEM).  Gated to inference (no dropout/weights) and
+    # sequences long enough to amortize; tiny token counts (the 7-token
+    # denoiser attention) stay on the XLA pipeline.
+    if (_PALLAS_ENABLED and Sq == Sk and Sq >= 64
+            and dropout_rate == 0.0 and not return_weights
+            and D % num_heads == 0
+            and jax.default_backend() == "tpu"):
+        from ladiff_tpu.ops.pallas_attention import pallas_masked_attention
+        return pallas_masked_attention(q, k, v, key_valid,
+                                       num_heads=num_heads)
     qh = q.reshape(B, Sq, H, Dh).transpose(0, 2, 1, 3)
     kh = k.reshape(B, Sk, H, Dh).transpose(0, 2, 1, 3)
     vh = v.reshape(B, Sk, H, Dh).transpose(0, 2, 1, 3)
