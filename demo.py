@@ -91,10 +91,32 @@ def main():
         mask = (keep <= step) if latentwise == "fw" else (keep >= M - 1 - step)
         base_valid = latent_valid_mask(lengths_arr, system.frame_per_latent, M)
         z = jnp.where((mask & base_valid)[:, :, None], z, 0.0)
-    feats = system.vae.apply(
+    plot_att = bool(cfg.DEMO.get("PLOT_ATT_MAP", False))
+    out = system.vae.apply(
         {"params": params["vae"]}, z, lengths_arr,
         nframes=system.max_frames, deterministic=True,
+        return_cross_weights=plot_att,
         method=system.vae.decode)
+    if plot_att:
+        # cross-attention heatmaps frames x latents per decoder block
+        # (reference cross_attention.py:378-407 dumps these per layer)
+        feats, cross_weights = out
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        att_dir = pjoin(cfg.get("FOLDER_EXP", "."), "att_maps")
+        os.makedirs(att_dir, exist_ok=True)
+        for bi, w in enumerate(jax.device_get(cross_weights)):
+            fig, ax = plt.subplots(figsize=(3, 6))
+            ax.imshow(np.asarray(w[0]), aspect="auto", cmap="viridis")
+            ax.set_xlabel("latents")
+            ax.set_ylabel("frames")
+            fig.savefig(pjoin(att_dir, f"block_{bi}.png"),
+                        bbox_inches="tight", dpi=120)
+            plt.close(fig)
+        logger.info(f"saved {len(cross_weights)} attention maps to {att_dir}")
+    else:
+        feats = out
     joints = jax.device_get(system.feats2joints(feats))
     dt = time.time() - t0
     logger.info(f"generated {len(texts)} motions in {dt:.2f}s "

@@ -112,11 +112,17 @@ def cont6d_to_matrix(cont6d):
 
 
 def axis_angle_to_quaternion(axis_angle):
-    """(..., 3) rotation vectors -> (..., 4) unit quaternions."""
+    """(..., 3) rotation vectors -> (..., 4) unit quaternions.
+
+    Gradient-safe at angle=0: the untaken branch of a ``where`` still
+    propagates NaNs through its cotangent, so the norm input is substituted
+    with a safe value before the division (standard safe-where pattern)."""
     xp = _xp(axis_angle)
-    angle = xp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    sq = (axis_angle ** 2).sum(-1, keepdims=True)
+    small = sq < 1e-12
+    safe_sq = xp.where(small, xp.ones_like(sq), sq)
+    angle = xp.sqrt(safe_sq)
     half = 0.5 * angle
-    small = angle < 1e-6
-    sin_half_over = xp.where(small, 0.5 - angle ** 2 / 48.0,
-                             xp.sin(half) / xp.maximum(angle, 1e-12))
-    return xp.concatenate([xp.cos(half), axis_angle * sin_half_over], axis=-1)
+    sin_half_over = xp.where(small, 0.5 - sq / 48.0, xp.sin(half) / angle)
+    cos_half = xp.where(small, 1.0 - sq / 8.0, xp.cos(half))
+    return xp.concatenate([cos_half, axis_angle * sin_half_over], axis=-1)

@@ -80,12 +80,16 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
     all_metrics = defaultdict(list)
     rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)))
 
+    from ladiff_tpu.metrics.uncond import UncondMetrics
+    count_time = bool(cfg.TEST.get("COUNT_TIME", False))
+    times = []
     for rep in range(reps):
         tm2t = TM2TMetrics(diversity_times=min(
             int(cfg.TEST.DIVERSITY_TIMES), 300), seed=rep)
         temos = TemosMetrics(njoints=dm.njoints,
                              jointstype=dm.name)
         mr = MRMetrics(njoints=dm.njoints)
+        uncond = UncondMetrics(seed=rep)
         t0 = time.time()
         n_seq = 0
         for batch in dm.loader("test", batch_size=bs, shuffle=True, seed=rep):
@@ -100,8 +104,13 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
                 "text_len": jnp.asarray(batch["text_len"]),
             }
             rng, step_rng = jax.random.split(rng)
+            bt0 = time.time()
             out = jax.device_get(eval_step(params, device_batch, cond,
                                            uncond, step_rng))
+            if count_time:
+                # reference TEST.COUNT_TIME: per-batch latency, times.txt
+                # (ladiff.py:253-306)
+                times.append(time.time() - bt0)
             lengths = list(np.asarray(batch["length"]))
             n_seq += len(lengths)
             if "TM2TMetrics" in metric_types:
@@ -110,6 +119,8 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
                 temos.update(out["joints_rst"], out["joints_ref"], lengths)
             if "MRMetrics" in metric_types:
                 mr.update(out["joints_rst"], out["joints_ref"], lengths)
+            if "UncondMetrics" in metric_types:
+                uncond.update(out["lat_rm"], out["lat_m"], lengths)
 
         rep_metrics = {}
         if "TM2TMetrics" in metric_types and n_seq > tm2t.R_size:
@@ -118,6 +129,9 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
             rep_metrics.update(temos.compute())
         if "MRMetrics" in metric_types:
             rep_metrics.update(mr.compute())
+        if "UncondMetrics" in metric_types and uncond.count_seq > 1:
+            rep_metrics.update(
+                {f"uncond_{k}": v for k, v in uncond.compute().items()})
 
         # MultiModality pass (reference test.py:142-146)
         if "TM2TMetrics" in metric_types and stage != "vae":
@@ -161,6 +175,12 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
     logger.info("==== final metrics ====\n" + "\n".join(lines))
 
     out_dir = cfg.get("FOLDER_EXP", ".")
+    if count_time and times:
+        mean_t = float(np.mean(times))
+        logger.info(f"mean eval-step latency: {mean_t * 1e3:.1f} ms/batch "
+                    f"({mean_t / bs * 1e3:.2f} ms/sample)")
+        with open(pjoin(out_dir, "times.txt"), "w") as f:
+            f.write("\n".join(str(t) for t in times) + "\n")
     stamp = time.strftime("%Y-%m-%dT%H-%M-%S")
     with open(pjoin(out_dir, f"metrics_{stamp}.json"), "w") as f:
         json.dump({k: {"mean": m, "conf": c} for k, (m, c) in summary.items()},

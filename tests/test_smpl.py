@@ -1,0 +1,53 @@
+"""SMPL LBS + fitting tests (synthetic body model)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladiff_tpu.smpl.body_model import SMPLModel
+
+
+def test_lbs_forward_shapes_and_rest_pose():
+    model = SMPLModel.synthetic()
+    T = 4
+    pose = jnp.zeros((T, 24, 3))
+    betas = jnp.zeros((10,))
+    joints, verts = model.forward(pose, betas, return_vertices=True)
+    assert joints.shape == (T, 24, 3)
+    assert verts.shape[0] == T and verts.shape[2] == 3
+    # zero pose: joints equal the regressed rest joints
+    rest = np.asarray(model.J_regressor @ model.v_template)
+    np.testing.assert_allclose(np.asarray(joints[0]), rest, atol=1e-5)
+    # global translation shifts everything rigidly
+    trans = jnp.ones((T, 3))
+    joints_t = model.forward(pose, betas, trans)
+    np.testing.assert_allclose(np.asarray(joints_t), np.asarray(joints) + 1.0,
+                               atol=1e-5)
+
+
+def test_lbs_differentiable():
+    model = SMPLModel.synthetic()
+    pose = jnp.zeros((2, 24, 3)) + 0.1
+
+    def loss(p):
+        return jnp.sum(model.forward(p, jnp.zeros(10)) ** 2)
+
+    g = jax.grad(loss)(pose)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_fitting_recovers_joints():
+    from fit import fit_sequence
+
+    model = SMPLModel.synthetic()
+    rng = np.random.RandomState(0)
+    true_pose = jnp.asarray(rng.randn(3, 24, 3).astype(np.float32) * 0.1)
+    true_trans = jnp.asarray(rng.randn(3, 3).astype(np.float32) * 0.2)
+    target = np.asarray(model.forward(true_pose, jnp.zeros(10), true_trans))
+
+    params, loss = fit_sequence(model, target, iters=200, lr=0.05)
+    assert loss < 1e-3, loss
+    fitted = np.asarray(model.forward(
+        jnp.asarray(params["pose"]), jnp.asarray(params["betas"]),
+        jnp.asarray(params["trans"])))
+    assert np.abs(fitted - target).mean() < 0.05
