@@ -76,10 +76,32 @@ def main():
 
     rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)))
     latentwise = cfg.DEMO.get("LATENTWISE_GEN")
+    task = str(cfg.DEMO.get("TASK", "text_motion"))
 
     t0 = time.time()
-    z = system.diffusion_reverse(params["denoiser"], cond, uncond,
-                                 lengths_arr, rng)
+    if task == "random_latent":
+        # sample z ~ N(0, I) with the per-length active mask
+        # (reference demo task "random_sampling")
+        from ladiff_tpu.utils.masks import latent_valid_mask as lvm
+        z = jax.random.normal(
+            rng, (len(texts), system.max_it, system.latent_dim[-1]))
+        z = jnp.where(lvm(lengths_arr, system.frame_per_latent,
+                          system.max_it)[:, :, None], z, 0.0)
+    elif task == "reconstruction":
+        # encode+decode a provided motion npy (reference recon_from_motion,
+        # ladiff.py:320-331); expects --example pointing at a .npy features
+        # file alongside the text file
+        motion_npy = str(cfg.DEMO.get("EXAMPLE", "")).replace(".txt", ".npy")
+        feats_in = jnp.asarray(np.load(motion_npy))[None]
+        lengths_arr = jnp.asarray([feats_in.shape[1]])
+        texts = ["reconstruction"]
+        z, _, _, _ = system.vae.apply(
+            {"params": params["vae"]}, feats_in, lengths_arr,
+            rng=rng, deterministic=True, method=system.vae.encode)
+    else:
+        reverse = (system.diffusion_reverse_ar if system.ardiff
+                   else system.diffusion_reverse)
+        z = reverse(params["denoiser"], cond, uncond, lengths_arr, rng)
     if latentwise in ("fw", "bw"):
         # repeat each sample MAX_IT times with progressive latent masking
         M = system.max_it

@@ -153,6 +153,23 @@ def get_datasets(cfg, phase: str = "train") -> List[T2MDataModule]:
         name = name.lower()
         base = cfg.DATASET.get(name.upper(), {})
         data_root = base.get("ROOT", pjoin("datasets", name))
+        if not os.path.exists(pjoin(data_root, "Mean.npy")):
+            if os.environ.get("LADIFF_SYNTHETIC_DATA", "") == "1":
+                from ladiff_tpu.data.synthetic import generate_synthetic_dataset
+                data_root = pjoin("datasets", f"synthetic_{name}")
+                if not os.path.exists(pjoin(data_root, "Mean.npy")):
+                    nfeats = _DATASET_SPECS[name]["nfeats"]
+                    generate_synthetic_dataset(data_root, n_clips=64,
+                                               nfeats=nfeats)
+                print(f"WARNING: {name} dataset not found; using SYNTHETIC "
+                      f"data at {data_root} (LADIFF_SYNTHETIC_DATA=1). "
+                      "Metrics are meaningless on synthetic data.")
+            else:
+                raise FileNotFoundError(
+                    f"dataset root {data_root} is missing Mean.npy — "
+                    "download/prepare the dataset (see prepare/README.md) "
+                    "or set LADIFF_SYNTHETIC_DATA=1 for a synthetic "
+                    "stand-in")
         glove = cfg.DATASET.get("WORD_VERTILIZER_PATH", None)
         wv = build_word_vectorizer(glove)
         # eval-norm stats from T2M evaluator meta dir when available

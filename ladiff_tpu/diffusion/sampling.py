@@ -101,8 +101,9 @@ def ddim_sample(
 
     if step_aux is None:
         step_aux = jnp.zeros((len(ts),), jnp.int32)  # dummy scanned value
+    # unroll=2 measured ~3% faster on v5e (pipelines adjacent steps)
     (latents, _), traj = jax.lax.scan(step, (latents, noise_rng),
-                                      (ts, prev_ts, step_aux))
+                                      (ts, prev_ts, step_aux), unroll=2)
     if return_trajectory:
         # [n_steps, B, n_lat, D] intermediate latents (reference
         # _diffusion_reverse_tsne captures these, ladiff.py:573-743)

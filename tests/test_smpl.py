@@ -36,8 +36,21 @@ def test_lbs_differentiable():
     assert np.abs(np.asarray(g)).max() > 0
 
 
+def _load_fit_sequence():
+    """Import from the repo-root fit.py by path (the reference's src/fit.py
+    shadows the name once other tests put /root/reference/src on sys.path)."""
+    import importlib.util
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "ladiff_tpu_fit_entry", os.path.join(repo, "fit.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.fit_sequence
+
+
 def test_fitting_recovers_joints():
-    from fit import fit_sequence
+    fit_sequence = _load_fit_sequence()
 
     model = SMPLModel.synthetic()
     rng = np.random.RandomState(0)
