@@ -250,6 +250,50 @@ class LADiffSystem:
                                          x0_pred=noise_pred, x0=z)
         return total, (logs, {"latent_valid": lat_valid})
 
+    # -- stage 3: joint finetune ---------------------------------------
+    def vae_diffusion_forward(self, params, batch: Dict[str, jax.Array],
+                              rng: jax.Array, uncond_emb: jax.Array,
+                              train: bool = True):
+        """Joint stage (reference TRAIN.STAGE=vae_diffusion,
+        allsplit_step :1395-1407): VAE reconstruction losses + diffusion
+        noise loss + generation losses on a full text->sample->decode pass
+        (``gen_feature``/``gen_joints``, losses/mld.py:124-130).
+
+        The generation branch samples with few DDIM steps under
+        stop-gradient through the sampler chain except the final decode —
+        gradients flow into the decoder (the reference finetunes the
+        decoder on generated latents via ``FINETUNE_DECODER``)."""
+        vae_rng, diff_rng, gen_rng = jax.random.split(rng, 3)
+        vae_total, (vae_logs, vae_aux) = self.vae_forward(
+            params["vae"], batch, vae_rng, train=train)
+        diff_total, (diff_logs, _) = self.diffusion_forward(
+            params["denoiser"], params["vae"], batch, diff_rng, uncond_emb,
+            train=train)
+
+        lengths = batch["length"]
+        text_emb = batch["text_emb"]
+        z_gen = self.diffusion_reverse(
+            jax.lax.stop_gradient(params["denoiser"]), text_emb,
+            jnp.broadcast_to(uncond_emb, text_emb.shape), lengths, gen_rng,
+            num_inference_timesteps=min(self.num_inference_timesteps, 10))
+        z_gen = jax.lax.stop_gradient(z_gen)
+        gen_feats = self.vae.apply(
+            {"params": params["vae"]}, z_gen, lengths,
+            nframes=batch["motion"].shape[1], deterministic=True,
+            method=self.vae.decode)
+        gen_joints = self.feats2joints(gen_feats)
+        from ladiff_tpu.losses.mld import smooth_l1
+        gen_feature = smooth_l1(gen_feats, batch["motion"])
+        gen_joints_l = smooth_l1(gen_joints, vae_aux["joints_ref"])
+        w = self.weights
+        total = (vae_total + diff_total + w.lambda_gen * gen_feature
+                 + w.lambda_joint * gen_joints_l)
+        logs = {**{f"vae_{k}": v for k, v in vae_logs.items()},
+                **{f"diff_{k}": v for k, v in diff_logs.items()},
+                "gen_feature": gen_feature, "gen_joints": gen_joints_l,
+                "total": total}
+        return total, (logs, vae_aux)
+
     # -- sampling -------------------------------------------------------
     def diffusion_reverse(self, den_params, text_emb_cond: jax.Array,
                           text_emb_uncond: jax.Array, lengths: jax.Array,

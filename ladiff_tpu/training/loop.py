@@ -128,6 +128,15 @@ def run_training(cfg, dm: T2MDataModule, logger,
         state = create_train_state(params["denoiser"], tx)
         step_fn = make_diffusion_train_step(system, mesh, vae_params,
                                             embedder.uncond)
+    elif stage == "vae_diffusion":
+        if text_encoder is None:
+            from ladiff_tpu.models.clip_text import ClipTextEncoder
+            text_encoder = ClipTextEncoder(
+                modelpath=str(cfg.model.get("clip_path", "") or "") or None)
+        embedder = CaptionEmbedder(text_encoder)
+        from ladiff_tpu.training.trainer import make_vae_diffusion_train_step
+        state = create_train_state(params, tx)
+        step_fn = make_vae_diffusion_train_step(system, mesh, embedder.uncond)
     else:
         raise ValueError(f"unsupported stage {stage}")
 
@@ -135,13 +144,20 @@ def run_training(cfg, dm: T2MDataModule, logger,
     if str(cfg.TRAIN.get("RESUME", "") or ""):
         found = latest_checkpoint(ckpt_dir)
         if found:
-            key = "vae" if stage == "vae" else "denoiser"
-            target = {"params": {"vae": params["vae"]}, "epoch": 0}
-            if stage != "vae":
-                target["params"] = {"denoiser": state.params,
-                                    "vae": vae_params}
-            start_epoch, tree = ckpt.restore(found[0], target)
-            state = state.replace(params=tree["params"][key])
+            if stage == "vae":
+                target = {"params": {"vae": params["vae"]}, "epoch": 0}
+                start_epoch, tree = ckpt.restore(found[0], target)
+                state = state.replace(params=tree["params"]["vae"])
+            elif stage == "vae_diffusion":
+                target = {"params": state.params, "epoch": 0}
+                start_epoch, tree = ckpt.restore(found[0], target)
+                state = state.replace(params=tree["params"])
+            else:
+                target = {"params": {"denoiser": state.params,
+                                     "vae": vae_params}, "epoch": 0}
+                start_epoch, tree = ckpt.restore(found[0], target)
+                state = state.replace(params=tree["params"]["denoiser"])
+                vae_params = tree["params"]["vae"]
             logger.info(f"resumed from epoch {start_epoch}")
 
     end_epoch = max_epochs if max_epochs is not None else int(cfg.TRAIN.END_EPOCH)
@@ -160,7 +176,7 @@ def run_training(cfg, dm: T2MDataModule, logger,
                 "motion": jnp.asarray(batch["motion"]),
                 "length": jnp.asarray(batch["length"]),
             }
-            if stage == "diffusion":
+            if stage in ("diffusion", "vae_diffusion"):
                 device_batch["text_emb"] = jnp.asarray(
                     embedder(batch["text"]))
             device_batch = shard_batch(device_batch, mesh)
@@ -182,6 +198,9 @@ def run_training(cfg, dm: T2MDataModule, logger,
             # reference stage-2 ckpt layout (LightningModule holds both)
             if stage == "vae":
                 tree = {"params": {"vae": jax.device_get(state.params)},
+                        "epoch": epoch + 1}
+            elif stage == "vae_diffusion":
+                tree = {"params": jax.device_get(state.params),
                         "epoch": epoch + 1}
             else:
                 tree = {"params": {"denoiser": jax.device_get(state.params),

@@ -105,3 +105,31 @@ def make_diffusion_train_step(system: LADiffSystem, mesh: Mesh,
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def make_vae_diffusion_train_step(system: LADiffSystem, mesh: Mesh,
+                                  uncond_emb) -> Callable:
+    """jitted joint-stage step training BOTH the VAE and the denoiser
+    (reference TRAIN.STAGE=vae_diffusion).  ``state.params`` is the full
+    {"vae", "denoiser"} tree."""
+    repl, data = _shardings(mesh)
+    uncond_emb = jax.device_put(jnp.asarray(uncond_emb), repl)
+
+    def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        def loss_fn(params):
+            total, (logs, _) = system.vae_diffusion_forward(
+                params, batch, rng, uncond_emb, train=True)
+            return total, logs
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads=grads)
+        logs = dict(logs, grad_norm=optax.global_norm(grads))
+        return state, logs
+
+    batch_sh = {"motion": data, "length": data, "text_emb": data}
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_sh, repl),
+        out_shardings=(repl, repl),
+        )
