@@ -98,8 +98,15 @@ class T2MDataModule:
 
     def loader(self, split: str, batch_size: Optional[int] = None,
                shuffle: Optional[bool] = None, drop_last: bool = False,
-               seed: Optional[int] = None) -> Iterator[dict]:
-        """One epoch of static-shape collated batches."""
+               seed: Optional[int] = None,
+               buckets: Optional[tuple] = None) -> Iterator[dict]:
+        """One epoch of static-shape collated batches.
+
+        ``buckets``: optional ascending frame-count grid (e.g. (64, 128,
+        196)).  Clips batch with others from the same bucket and pad only
+        to the bucket size — XLA compiles once per bucket shape instead of
+        padding everything to MAX_LEN.  Without buckets, every batch is
+        padded to the single static MAX_LEN (one compiled program)."""
         ds = self.dataset(split)
         bs = batch_size or self.batch_size
         shuffle = (split == "train") if shuffle is None else shuffle
@@ -109,8 +116,35 @@ class T2MDataModule:
                 ds.name_list[ds.pointer:])}
             idx = np.array([name_to_i[n] for n in self._mm_names
                             if n in name_to_i])
+        rng = np.random.RandomState(self.seed if seed is None else seed)
         if shuffle:
-            np.random.RandomState(self.seed if seed is None else seed).shuffle(idx)
+            rng.shuffle(idx)
+
+        if buckets:
+            buckets = tuple(sorted(min(b, self.max_motion_length)
+                                   for b in buckets))
+            assert buckets[-1] >= self.max_motion_length, (
+                "largest bucket must cover MAX_LEN")
+            lengths = ds.length_arr[ds.pointer:][idx] if not self.is_mm \
+                else np.array([ds.data_dict[ds.name_list[ds.pointer + i]]
+                               ["length"] for i in idx])
+            order = []
+            for b in buckets:
+                in_b = idx[(lengths <= b)
+                           & (lengths > (0 if b == buckets[0]
+                                         else buckets[buckets.index(b) - 1]))]
+                for start in range(0, len(in_b), bs):
+                    chunk = in_b[start:start + bs]
+                    if drop_last and len(chunk) < bs:
+                        continue
+                    order.append((b, chunk))
+            if shuffle:
+                rng.shuffle(order)
+            for b, chunk in order:
+                items = [ds[int(i)] for i in chunk]
+                yield collate_t2m(items, b)
+            return
+
         for start in range(0, len(idx), bs):
             chunk = idx[start:start + bs]
             if drop_last and len(chunk) < bs:
@@ -145,6 +179,35 @@ class T2MDataModule:
             self._mm_names = None
 
 
+def _get_action_dataset(cfg, name: str, base):
+    """Action datasets (reference get_data.py maps humanact12/uestc to the
+    a2m DataModules)."""
+    from ladiff_tpu.data.a2m import HumanAct12Dataset, UESTCDataset
+
+    root = base.get("ROOT", pjoin("datasets", name))
+    num_frames = int(base.get("NUM_FRAMES", 60))
+    kwargs = dict(num_frames=num_frames,
+                  pose_rep=str(base.get("POSE_REP", "rot6d")),
+                  translation=bool(base.get("TRANSLATION", True)),
+                  glob=bool(base.get("GLOB", True)),
+                  seed=int(cfg.get("SEED_VALUE", 1234)))
+    if name == "humanact12":
+        if (not os.path.exists(pjoin(root, "humanact12poses.pkl"))
+                and os.environ.get("LADIFF_SYNTHETIC_DATA", "") == "1"):
+            from ladiff_tpu.data.a2m import generate_synthetic_humanact12
+            root = pjoin("datasets", "synthetic_humanact12")
+            if not os.path.exists(pjoin(root, "humanact12poses.pkl")):
+                generate_synthetic_humanact12(root)
+            print(f"WARNING: using SYNTHETIC humanact12 at {root}")
+        ds = HumanAct12Dataset(root, **kwargs)
+    else:
+        ds = UESTCDataset(root, **kwargs)
+    cfg.DATASET.NFEATS = ds.nfeats
+    cfg.DATASET.NJOINTS = 24 + int(ds.translation)
+    cfg.DATASET.NCLASSES = ds.num_classes
+    return ds
+
+
 def get_datasets(cfg, phase: str = "train") -> List[T2MDataModule]:
     """Reference factory (data/get_data.py:86-161)."""
     names = list(cfg[phase.upper()].DATASETS)
@@ -152,6 +215,9 @@ def get_datasets(cfg, phase: str = "train") -> List[T2MDataModule]:
     for name in names:
         name = name.lower()
         base = cfg.DATASET.get(name.upper(), {})
+        if name in ("humanact12", "uestc"):
+            modules.append(_get_action_dataset(cfg, name, base))
+            continue
         data_root = base.get("ROOT", pjoin("datasets", name))
         if not os.path.exists(pjoin(data_root, "Mean.npy")):
             if os.environ.get("LADIFF_SYNTHETIC_DATA", "") == "1":

@@ -167,8 +167,10 @@ def run_training(cfg, dm: T2MDataModule, logger,
     for epoch in range(start_epoch, end_epoch):
         t0 = time.time()
         losses = []
+        buckets = cfg.TRAIN.get("LENGTH_BUCKETS", None)
+        buckets = tuple(buckets) if buckets else None
         for i, batch in enumerate(dm.loader("train", batch_size=bs,
-                                            seed=epoch)):
+                                            seed=epoch, buckets=buckets)):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
             batch = _pad_batch(batch, n_dev)

@@ -39,6 +39,9 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
     from ladiff_tpu.utils.checkpoint import CheckpointManager, latest_checkpoint
 
     dm = datamodule or get_datasets(cfg, phase="test")[0]
+    metric_types_all = list(cfg.METRIC.TYPE)
+    if any(m in ("HUMANACTMetrics", "UESTCMetrics") for m in metric_types_all):
+        return _run_a2m_test(cfg, logger, dm, params=params)
     system = build_system(cfg, dm)
 
     if params is None:
@@ -185,6 +188,79 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
     with open(pjoin(out_dir, f"metrics_{stamp}.json"), "w") as f:
         json.dump({k: {"mean": m, "conf": c} for k, (m, c) in summary.items()},
                   f, indent=2)
+    return summary
+
+
+def _run_a2m_test(cfg, logger, dataset, params=None):
+    """Action-conditioned benchmark (reference HUMANACT/UESTC metric path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ladiff_tpu.evaluation.a2m_eval import run_a2m_eval
+    from ladiff_tpu.metrics.a2m import ActionClassifierMetrics
+    from ladiff_tpu.models.classifiers import (MotionDiscriminator, STGCN,
+                                               load_gru_classifier_checkpoint)
+    from ladiff_tpu.models.ladiff import LADiffSystem
+    from ladiff_tpu.utils.checkpoint import CheckpointManager, latest_checkpoint
+
+    nfeats = int(cfg.DATASET.NFEATS)
+    system = LADiffSystem.from_cfg(
+        cfg, nfeats=nfeats, njoints=int(cfg.DATASET.NJOINTS),
+        mean=np.zeros(nfeats, np.float32), std=np.ones(nfeats, np.float32))
+    vae = system.vae
+    if params is None:
+        found = latest_checkpoint(str(cfg.TEST.CHECKPOINTS))
+        if found is None:
+            raise FileNotFoundError(
+                f"no checkpoint under {cfg.TEST.CHECKPOINTS}")
+        _, tree = CheckpointManager(str(cfg.TEST.CHECKPOINTS)).restore(found[0])
+        params = jax.tree.map(jnp.asarray, tree["params"])
+
+    is_uestc = "UESTCMetrics" in list(cfg.METRIC.TYPE)
+    num_labels = int(cfg.DATASET.get("NCLASSES", 12))
+    if is_uestc:
+        clf = STGCN(in_channels=6, num_class=num_labels,
+                    num_nodes=nfeats // 6)
+        clf_params = clf.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 60, nfeats // 6, 6)))["params"]
+        kind = "stgcn"
+    else:
+        clf = MotionDiscriminator(input_size=nfeats, hidden_size=128,
+                                  hidden_layer=2, output_size=num_labels)
+        clf_params = None
+        gru_path = str(cfg.model.get("humanact12_rec_path", "") or
+                       "deps/actionrecognition/humanact12_gru.tar")
+        loaded = load_gru_classifier_checkpoint(gru_path)
+        if loaded is not None:
+            clf_params = loaded
+        else:
+            logger.warning(f"GRU classifier ckpt not found at {gru_path}; "
+                           "using random init (self-consistent only)")
+            clf_params = clf.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 60, nfeats)),
+                                  jnp.array([60]))["params"]
+        kind = "gru"
+
+    reps = int(cfg.TEST.REPLICATION_TIMES)
+    num_frames = int(cfg.DATASET.get(
+        "HUMANACT12" if not is_uestc else "UESTC", {}).get("NUM_FRAMES", 60))
+    all_metrics = defaultdict(list)
+    for rep in range(reps):
+        metrics = ActionClassifierMetrics(num_labels=num_labels, seed=rep)
+        out = run_a2m_eval(system, vae, params, dataset, clf, clf_params,
+                           metrics, batch_size=int(cfg.TEST.BATCH_SIZE),
+                           num_frames=num_frames, classifier_kind=kind,
+                           seed=rep)
+        for k, v in out.items():
+            all_metrics[k].append(float(v))
+        logger.info(f"replication {rep + 1}/{reps}: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in sorted(out.items())))
+    summary = {k: _aggregate(v) for k, v in all_metrics.items()}
+    lines = [f"{k:>24s}: {m:.4f} ± {c:.4f}" for k, (m, c) in
+             sorted(summary.items())]
+    logger.info("==== final metrics ====\n" + "\n".join(lines))
     return summary
 
 

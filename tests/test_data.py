@@ -98,3 +98,21 @@ def test_datamodule_end_to_end(synth_root):
     mm_batches = list(dm.loader("test", batch_size=1))
     assert 0 < len(mm_batches) <= 2
     dm.mm_mode(False)
+
+
+def test_bucketed_loader(synth_root):
+    dm = T2MDataModule("humanml3d", synth_root, HashWordVectorizer(),
+                       batch_size=4)
+    seen_shapes = set()
+    n_items = 0
+    for batch in dm.loader("train", buckets=(64, 128, 196)):
+        T = batch["motion"].shape[1]
+        seen_shapes.add(T)
+        n_items += batch["motion"].shape[0]
+        # every clip fits its bucket: padded region is zero, lengths <= T
+        assert (batch["length"] <= T).all()
+    assert seen_shapes.issubset({64, 128, 196})
+    assert len(seen_shapes) >= 2  # synthetic lengths span buckets
+    # same items overall as the unbucketed epoch
+    n_flat = sum(b["motion"].shape[0] for b in dm.loader("train"))
+    assert n_items == n_flat
