@@ -55,6 +55,8 @@ class LADiffSystem:
     dvae: bool = False
     percentage_noised: float = 0.0
     md_trans: bool = True
+    mlp_dist: bool = False
+    test_efficiency: bool = False
     text_encoded_dim: int = 768
     guidance_scale: float = 7.5
     guidance_uncondp: float = 0.1
@@ -95,6 +97,8 @@ class LADiffSystem:
             dvae=bool(abl.get("DVAE", False)),
             percentage_noised=float(abl.get("PERCENTAGE_NOISED", 0.0)),
             md_trans=bool(abl.get("MD_TRANS", False)),
+            mlp_dist=bool(abl.get("MLP_DIST", False)),
+            test_efficiency=bool(abl.get("TEST_EFFICIENCY", False)),
             text_encoded_dim=int(
                 ((m.get("denoiser") or {}).get("params") or {})
                 .get("text_encoded_dim", 768)),
@@ -132,7 +136,9 @@ class LADiffSystem:
             num_heads=self.num_heads, dropout=self.dropout,
             max_it=self.max_it, frame_per_latent=self.frame_per_latent,
             lad=self.lad, dvae=self.dvae,
-            percentage_noised=self.percentage_noised, dtype=self.dtype)
+            percentage_noised=self.percentage_noised,
+            mlp_dist=self.mlp_dist, test_efficiency=self.test_efficiency,
+            dtype=self.dtype)
 
     @property
     def denoiser(self) -> LADenoiser:

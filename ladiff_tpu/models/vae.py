@@ -57,6 +57,8 @@ class LAVae(nn.Module):
     lad: bool = True
     dvae: bool = False
     percentage_noised: float = 0.0
+    mlp_dist: bool = False
+    test_efficiency: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -72,7 +74,14 @@ class LAVae(nn.Module):
         D = self.d_model
         self.skel_embedding = nn.Dense(D, dtype=self.dtype, name="skel_embedding")
         self.final_layer = nn.Dense(self.nfeats, dtype=self.dtype, name="final_layer")
-        n_tok = 2 * self.max_it if self.max_it else 2 * int(self.latent_dim[0])
+        if self.mlp_dist:
+            # MLP_DIST ablation (reference ladiff_vae.py:110-113): single
+            # token set + Linear(D -> 2D) producing mu/logvar
+            n_tok = int(self.latent_dim[0])
+            self.dist_layer = nn.Dense(2 * D, dtype=self.dtype,
+                                       name="dist_layer")
+        else:
+            n_tok = 2 * self.max_it if self.max_it else 2 * int(self.latent_dim[0])
         self.global_motion_token = self.param(
             "global_motion_token", nn.initializers.normal(1.0), (n_tok, D))
         self.query_pos_encoder = self._pe("query_pos_encoder")
@@ -113,9 +122,14 @@ class LAVae(nn.Module):
         *,
         rng: Optional[jax.Array] = None,
         sample_mean: bool = False,
+        fact: Optional[float] = None,
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-        """Returns (z [B, max_it, D], mu, logvar, latent_valid [B, max_it])."""
+        """Returns (z [B, max_it, D], mu, logvar, latent_valid [B, max_it]).
+
+        ``sample_mean``/``fact`` mirror the test-time knobs TEST.MEAN /
+        TEST.FACT (reference sample_from_distribution, ladiff.py:225-248:
+        z = mu + fact * (sample - mu))."""
         B, T, _ = features.shape
         n_lat = self.max_it if self.max_it else int(self.latent_dim[0])
 
@@ -136,14 +150,21 @@ class LAVae(nn.Module):
             lat_valid = jnp.ones((B, n_lat), dtype=bool)
             dist_valid = jnp.ones((B, 2 * n_lat), dtype=bool)
 
-        aug_valid = jnp.concatenate([dist_valid, frame_valid], axis=1)
+        n_tok = self.global_motion_token.shape[0]
+        aug_valid = jnp.concatenate([dist_valid[:, :n_tok], frame_valid],
+                                    axis=1)
         xseq = jnp.concatenate([dist_tokens, x], axis=1)
         xseq = self.query_pos_encoder(xseq)
         out = self.encoder(xseq, aug_valid, deterministic=deterministic)
-        out = out[:, : 2 * n_lat]
+        out = out[:, :n_tok]
 
-        mu = out[:, :n_lat]
-        logvar = out[:, n_lat:]
+        if self.mlp_dist:
+            tokens_dist = self.dist_layer(out)
+            mu = tokens_dist[..., : self.d_model]
+            logvar = tokens_dist[..., self.d_model:]
+        else:
+            mu = out[:, :n_lat]
+            logvar = out[:, n_lat:]
         std = jnp.exp(0.5 * logvar)
         if sample_mean:
             z = mu
@@ -151,6 +172,8 @@ class LAVae(nn.Module):
             assert rng is not None, "encode needs an rng to sample"
             eps = jax.random.normal(rng, mu.shape, mu.dtype)
             z = mu + std * eps
+            if fact is not None:
+                z = mu + fact * (z - mu)
         if self.max_it and self.lad:
             z = jnp.where(lat_valid[:, :, None], z, 0.0)
         return z, mu, logvar, lat_valid
@@ -182,7 +205,11 @@ class LAVae(nn.Module):
             out = self.decoder(
                 queries, z.astype(self.dtype),
                 tgt_key_valid=frame_valid,
-                memory_key_valid=latent_valid if mask_memory else None,
+                # TEST_EFFICIENCY ablation drops the memory mask to time the
+                # minimal graph (reference ladiff_vae.py:294-295,342)
+                memory_key_valid=(latent_valid
+                                  if (mask_memory and not self.test_efficiency)
+                                  else None),
                 deterministic=deterministic,
                 return_cross_weights=return_cross_weights)
             if return_cross_weights:

@@ -154,3 +154,36 @@ def test_lengths_to_mask():
     np.testing.assert_array_equal(
         np.asarray(m),
         [[1, 1, 1, 0, 0], [0, 0, 0, 0, 0], [1, 1, 1, 1, 1]])
+
+
+def test_vae_mlp_dist_ablation():
+    """MLP_DIST: latent_size tokens + Linear(D->2D) mu/logvar split."""
+    vae = LAVae(nfeats=NFEATS, latent_dim=(7, D), ff_size=128, num_layers=3,
+                num_heads=4, dropout=0.0, max_it=0, lad=False, mlp_dist=True)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, T, NFEATS))
+    lengths = jnp.array([196, 100])
+    params = vae.init(jax.random.PRNGKey(1), feats, lengths, jax.random.PRNGKey(2))
+    assert params["params"]["global_motion_token"].shape == (7, D)
+    z, mu, logvar, _ = vae.apply(params, feats, lengths,
+                                 rng=jax.random.PRNGKey(3), method=vae.encode)
+    assert z.shape == (2, 7, D)
+    assert np.isfinite(np.asarray(z)).all()
+
+
+def test_vae_fact_and_mean_sampling():
+    vae = tiny_vae()
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, T, NFEATS))
+    lengths = jnp.array([196, 100])
+    params = vae.init(jax.random.PRNGKey(1), feats, lengths, jax.random.PRNGKey(2))
+    _, mu, _, _ = vae.apply(params, feats, lengths, sample_mean=True,
+                            method=vae.encode)
+    z_mean, mu2, _, _ = vae.apply(params, feats, lengths, sample_mean=True,
+                                  method=vae.encode)
+    np.testing.assert_array_equal(np.asarray(mu), np.asarray(mu2))
+    # fact=0 collapses the sample to the mean
+    z0, mu3, _, _ = vae.apply(params, feats, lengths,
+                              rng=jax.random.PRNGKey(4), fact=0.0,
+                              method=vae.encode)
+    lat_valid = np.asarray(z0) != 0
+    np.testing.assert_allclose(np.asarray(z0)[lat_valid.nonzero()],
+                               np.asarray(mu3)[lat_valid.nonzero()], atol=1e-6)
