@@ -148,6 +148,7 @@ class LADiffSystem:
             num_heads=self.num_heads, dropout=self.dropout,
             text_encoded_dim=self.text_encoded_dim, md_trans=self.md_trans,
             condition=self.condition, nclasses=self.nclasses,
+            diffusion_only=(self.vae_type == "no"),
             guidance_uncondp=self.guidance_uncondp, dtype=self.dtype)
 
     @property
@@ -162,6 +163,14 @@ class LADiffSystem:
         feats = jnp.zeros((B, T, self.nfeats))
         lengths = jnp.full((B,), T, jnp.int32)
         v_rng, d_rng, s_rng = jax.random.split(rng, 3)
+        if self.vae_type == "no":
+            # diffusion-only: no VAE; denoiser diffuses feature frames
+            frame_valid = lengths_to_mask(lengths, T)
+            den_params = self.denoiser.init(
+                d_rng, feats, jnp.zeros((B,), jnp.int32),
+                jnp.zeros((B, 1, self.text_encoded_dim)), None,
+                frame_valid=frame_valid)["params"]
+            return {"vae": {}, "denoiser": den_params}
         vae_params = self.vae.init(v_rng, feats, lengths, s_rng)["params"]
         n_lat = self.max_it if self.max_it else int(self.latent_dim[0])
         sample = jnp.zeros((B, n_lat, self.latent_dim[-1]))
@@ -223,11 +232,19 @@ class LADiffSystem:
         B = feats_ref.shape[0]
         enc_rng, t_rng, n_rng, cfg_rng, drop_rng = jax.random.split(rng, 5)
 
-        # frozen VAE encode (no grad through vae_params by construction)
-        z, _, _, lat_valid = self.vae.apply(
-            {"params": vae_params}, feats_ref, lengths,
-            rng=enc_rng, deterministic=True, method=self.vae.encode)
-        z = jax.lax.stop_gradient(z)
+        if self.vae_type == "no":
+            # diffusion-only / feature-space diffusion (reference
+            # modules_novae family: ladiff.py:911-912 takes z = features)
+            z = feats_ref
+            lat_valid = None
+            frame_valid = lengths_to_mask(lengths, feats_ref.shape[1])
+        else:
+            # frozen VAE encode (no grad through vae_params by construction)
+            z, _, _, lat_valid = self.vae.apply(
+                {"params": vae_params}, feats_ref, lengths,
+                rng=enc_rng, deterministic=True, method=self.vae.encode)
+            z = jax.lax.stop_gradient(z)
+            frame_valid = None
 
         # classifier-free caption dropout (reference ladiff.py:919-923)
         if train and self.guidance_uncondp > 0.0:
@@ -239,12 +256,13 @@ class LADiffSystem:
         timesteps = jax.random.randint(
             t_rng, (B,), 0, schedule.num_train_timesteps)
         noisy = schedule.add_noise(z, noise, timesteps)
-        if self.lad:
+        if self.lad and lat_valid is not None:
             # re-zero inactive rows after noising (reference ladiff.py:779-782)
             noisy = jnp.where(lat_valid[:, :, None], noisy, 0.0)
 
         noise_pred = self.denoiser.apply(
             {"params": den_params}, noisy, timesteps, text_emb, lat_valid,
+            frame_valid=frame_valid,
             deterministic=not train,
             rngs={"dropout": drop_rng} if train else {})
 
@@ -312,11 +330,23 @@ class LADiffSystem:
         (reference _diffusion_reverse_tsne :573-743, used for the latent
         t-SNE analysis script)."""
         B = text_emb_cond.shape[0]
-        D = self.latent_dim[-1]
-        n_lat = self.max_it if self.max_it else int(self.latent_dim[0])
-        lat_valid = (latent_valid_mask(lengths, self.frame_per_latent,
-                                       self.max_it)
-                     if (self.lad and self.max_it) else None)
+        if self.vae_type == "no":
+            # feature-space diffusion: "latents" are padded feature frames
+            # (reference ladiff.py:509-515); frame mask drives the denoiser
+            # and doubles as the sampler row mask (the reference leaves
+            # noise in padded frames and zeroes at the consumer instead —
+            # same observable output)
+            D = self.nfeats
+            n_lat = self.max_frames
+            frame_valid = lengths_to_mask(lengths, self.max_frames)
+            lat_valid = frame_valid
+        else:
+            D = self.latent_dim[-1]
+            n_lat = self.max_it if self.max_it else int(self.latent_dim[0])
+            lat_valid = (latent_valid_mask(lengths, self.frame_per_latent,
+                                           self.max_it)
+                         if (self.lad and self.max_it) else None)
+            frame_valid = None
         steps = num_inference_timesteps or self.num_inference_timesteps
 
         denoiser = self.denoiser
@@ -335,8 +365,12 @@ class LADiffSystem:
         def denoise(latents, t, text, valid, time_row):
             time_emb = jnp.broadcast_to(time_row[None, :],
                                         (latents.shape[0], time_row.shape[0]))
+            fv = frame_valid
+            if fv is not None and latents.shape[0] != fv.shape[0]:
+                fv = jnp.concatenate([fv, fv], axis=0)  # CFG doubling
             return denoiser.apply(
                 {"params": den_params}, latents, None, None, valid,
+                frame_valid=fv,
                 deterministic=True, time_emb=time_emb, text_emb_latent=text)
 
         guided = make_cfg_denoise_fn(denoise, text_uncond_l, text_cond_l,
@@ -503,6 +537,9 @@ class LADiffSystem:
         z = reverse(
             params["denoiser"], text_emb_cond, text_emb_uncond, lengths, rng,
             num_inference_timesteps)
+        if self.vae_type == "no":
+            # feature-space diffusion: z already IS the features
+            return z, z
         feats = self.vae.apply(
             {"params": params["vae"]}, z, lengths,
             nframes=nframes or self.max_frames, deterministic=True,
