@@ -118,3 +118,20 @@ def test_temos_ape_zero_for_identical():
     m2.update(joints + 0.05 * rng.randn(*joints.shape), joints, [40, 30])
     out2 = m2.compute()
     assert out2["APE_root"] > 0
+
+
+def test_mpjpe_family_matches_reference():
+    torch = pytest.importorskip("torch")
+    ref = _load_ref_metric_utils()
+    rng = np.random.RandomState(8)
+    preds = rng.randn(6, 22, 3).astype(np.float32)
+    target = rng.randn(6, 22, 3).astype(np.float32)
+    want_mpjpe = ref.calc_mpjpe(torch.tensor(preds), torch.tensor(target)).numpy()
+    got_mpjpe = U.calc_mpjpe(preds, target)
+    np.testing.assert_allclose(got_mpjpe, want_mpjpe, atol=1e-5)
+    want_accel = ref.calc_accel(torch.tensor(preds), torch.tensor(target)).numpy()
+    np.testing.assert_allclose(U.calc_accel(preds, target), want_accel,
+                               atol=1e-5)
+    want_pa = ref.calc_pampjpe(torch.tensor(preds), torch.tensor(target)).numpy()
+    np.testing.assert_allclose(U.calc_pampjpe(preds, target), want_pa,
+                               atol=1e-4)
