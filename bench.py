@@ -30,6 +30,9 @@ FRAMES = 196
 
 
 def main():
+    from ladiff_tpu.utils.jax_cache import enable as _enable_jax_cache
+    _enable_jax_cache()
+
     from ladiff_tpu.models.ladiff import LADiffSystem
 
     nfeats, njoints = 263, 22

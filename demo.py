@@ -35,6 +35,9 @@ def load_example_file(path):
 
 
 def main():
+    from ladiff_tpu.utils.jax_cache import enable as _enable_jax_cache
+    _enable_jax_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

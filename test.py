@@ -92,7 +92,7 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
         temos = TemosMetrics(njoints=dm.njoints,
                              jointstype=dm.name)
         mr = MRMetrics(njoints=dm.njoints)
-        uncond = UncondMetrics(seed=rep)
+        uncond_metric = UncondMetrics(seed=rep)
         t0 = time.time()
         n_seq = 0
         for batch in dm.loader("test", batch_size=bs, shuffle=True, seed=rep):
@@ -123,7 +123,7 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
             if "MRMetrics" in metric_types:
                 mr.update(out["joints_rst"], out["joints_ref"], lengths)
             if "UncondMetrics" in metric_types:
-                uncond.update(out["lat_rm"], out["lat_m"], lengths)
+                uncond_metric.update(out["lat_rm"], out["lat_m"], lengths)
 
         rep_metrics = {}
         if "TM2TMetrics" in metric_types and n_seq > tm2t.R_size:
@@ -132,9 +132,10 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
             rep_metrics.update(temos.compute())
         if "MRMetrics" in metric_types:
             rep_metrics.update(mr.compute())
-        if "UncondMetrics" in metric_types and uncond.count_seq > 1:
+        if "UncondMetrics" in metric_types and uncond_metric.count_seq > 1:
             rep_metrics.update(
-                {f"uncond_{k}": v for k, v in uncond.compute().items()})
+                {f"uncond_{k}": v
+                 for k, v in uncond_metric.compute().items()})
 
         # MultiModality pass (reference test.py:142-146)
         if "TM2TMetrics" in metric_types and stage != "vae":
@@ -265,6 +266,9 @@ def _run_a2m_test(cfg, logger, dataset, params=None):
 
 
 def main():
+    from ladiff_tpu.utils.jax_cache import enable as _enable_jax_cache
+    _enable_jax_cache()
+
     from ladiff_tpu.config import parse_args
     from ladiff_tpu.utils.logger import create_logger
 

@@ -10,6 +10,9 @@ from __future__ import annotations
 
 
 def main():
+    from ladiff_tpu.utils.jax_cache import enable as _enable_jax_cache
+    _enable_jax_cache()
+
     from ladiff_tpu.config import parse_args
     from ladiff_tpu.data.datamodule import get_datasets
     from ladiff_tpu.training.loop import run_training
