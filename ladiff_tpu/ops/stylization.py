@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ladiff_tpu.ops.param_layers import DenseParams, LNParams
 from ladiff_tpu.ops.transformer import TransformerEncoderLayer
 
 __all__ = [
@@ -78,46 +79,140 @@ class LinearTemporalCrossAttention(nn.Module):
         B, T, D = x.shape
         N = xf.shape[1]
         H = self.num_heads
-        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         tn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="text_norm")(xf)
+        value = nn.Dense(D, dtype=self.dtype, name="value")(tn)
+        # keep query/key params in the tree for checkpoint parity even on
+        # the N=1 shortcut below
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         query = nn.Dense(D, dtype=self.dtype, name="query")(xn)
         key = nn.Dense(D, dtype=self.dtype, name="key")(tn)
-        value = nn.Dense(D, dtype=self.dtype, name="value")(tn)
-        query = jax.nn.softmax(query.reshape(B, T, H, -1), axis=-1)
-        key = jax.nn.softmax(key.reshape(B, N, H, -1), axis=1)
-        value = value.reshape(B, N, H, -1)
-        # [B, H, Dh, Dh] context; then project queries through it.
-        attention = jnp.einsum("bnhd,bnhl->bhdl", key, value,
-                               preferred_element_type=jnp.float32).astype(x.dtype)
-        if latent_valid is not None:
-            query = query * latent_valid[:, :, None, None].astype(query.dtype)
-        y = jnp.einsum("bnhd,bhdl->bnhl", query, attention,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
-        y = y.reshape(B, T, D)
-        y = StylizationBlock(self.latent_dim, self.dropout, dtype=self.dtype,
-                             name="proj_out")(y, emb, deterministic=deterministic)
+        proj_out = _StylizationParams(self.latent_dim, self.dropout,
+                                      dtype=self.dtype, name="proj_out")
+        if N == 1:
+            # EXACT algebraic collapse for a single text token (the pooled-
+            # CLIP configs): softmax over one key is 1, so the context
+            # matrix is v broadcast over d; the query softmax sums to 1, so
+            # y[b,t] = v[b] for valid rows (0 for masked rows).  The q/k
+            # GEMMs cancel out of the math entirely.
+            if (deterministic and D % 128 == 0
+                    and jax.default_backend() == "tpu"):
+                from ladiff_tpu.ops.pallas_stylize import \
+                    fused_broadcast_stylize
+                scale, shift = proj_out.scale_shift(emb)
+                vrow = jnp.repeat(value[:, 0, :], T, axis=0)
+                if latent_valid is not None:
+                    maskr = latent_valid.reshape(B * T, 1).astype(jnp.float32)
+                else:
+                    maskr = jnp.ones((B * T, 1), jnp.float32)
+                out = fused_broadcast_stylize(
+                    x.reshape(B * T, D).astype(self.dtype),
+                    vrow.astype(self.dtype), maskr,
+                    jnp.repeat(scale, T, axis=0).astype(self.dtype),
+                    jnp.repeat(shift, T, axis=0).astype(self.dtype),
+                    proj_out.norm.scale, proj_out.norm.bias,
+                    proj_out.out_layers_2.kernel.astype(self.dtype),
+                    proj_out.out_layers_2.bias.astype(self.dtype))
+                return out.reshape(B, T, D)
+            y = jnp.broadcast_to(value, (B, T, D))
+            if latent_valid is not None:
+                y = jnp.where(latent_valid[:, :, None], y, 0.0)
+        else:
+            query = jax.nn.softmax(query.reshape(B, T, H, -1), axis=-1)
+            keyh = jax.nn.softmax(key.reshape(B, N, H, -1), axis=1)
+            valueh = value.reshape(B, N, H, -1)
+            # [B, H, Dh, Dh] context; then project queries through it.
+            attention = jnp.einsum(
+                "bnhd,bnhl->bhdl", keyh, valueh,
+                preferred_element_type=jnp.float32).astype(x.dtype)
+            if latent_valid is not None:
+                query = query * latent_valid[:, :, None, None].astype(query.dtype)
+            y = jnp.einsum("bnhd,bhdl->bnhl", query, attention,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+            y = y.reshape(B, T, D)
+        y = proj_out(y, emb, deterministic=deterministic)
         return x + y
+
+
+class _StylizationParams(nn.Module):
+    """StylizationBlock with addressable params (tree-identical to
+    StylizationBlock: emb_layers_1 / norm / out_layers_2)."""
+
+    latent_dim: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        D = self.latent_dim
+        self.emb_layers_1 = DenseParams(D, 2 * D, dtype=self.dtype,
+                                         name="emb_layers_1")
+        self.norm = LNParams(D, dtype=self.dtype, name="norm")
+        self.out_layers_2 = DenseParams(D, D, zero=True, dtype=self.dtype,
+                                         name="out_layers_2")
+        self.drop = nn.Dropout(self.dropout)
+
+    def scale_shift(self, emb: jax.Array):
+        out = self.emb_layers_1(nn.silu(emb))
+        return jnp.split(out, 2, axis=-1)
+
+    def __call__(self, h: jax.Array, emb: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        scale, shift = self.scale_shift(emb)
+        h = self.norm(h) * (1 + scale[:, None, :]) + shift[:, None, :]
+        h = nn.silu(h)
+        h = self.drop(h, deterministic=deterministic)
+        return self.out_layers_2(h)
 
 
 class StylizedFFN(nn.Module):
     """GELU FFN with zero-init second linear and stylized output
-    (reference: mdiff_transformer.py:249-262)."""
+    (reference: mdiff_transformer.py:249-262).
+
+    At inference on TPU the whole chain runs as ONE pallas kernel
+    (pallas_fused_ffn) — the denoiser step is latency-bound on kernel
+    count, and this block is ~10 of its ~25 kernels per layer."""
 
     latent_dim: int
     ffn_dim: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        D, F = self.latent_dim, self.ffn_dim
+        self.linear1 = DenseParams(D, F, dtype=self.dtype, name="linear1")
+        self.linear2 = DenseParams(F, D, zero=True, dtype=self.dtype,
+                                    name="linear2")
+        self.proj_out = _StylizationParams(D, self.dropout, dtype=self.dtype,
+                                           name="proj_out")
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, x: jax.Array, emb: jax.Array,
                  deterministic: bool = True) -> jax.Array:
-        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
+        D = self.latent_dim
+        use_fused = (deterministic and x.ndim == 3
+                     and D % 128 == 0 and self.ffn_dim % 128 == 0
+                     and jax.default_backend() == "tpu")
+        if use_fused:
+            from ladiff_tpu.ops.pallas_fused_ffn import fused_stylized_ffn
+            B, T, _ = x.shape
+            scale, shift = self.proj_out.scale_shift(emb)
+            p = self.proj_out
+            out = fused_stylized_ffn(
+                x.reshape(B * T, D).astype(self.dtype),
+                jnp.repeat(scale, T, axis=0).astype(self.dtype),
+                jnp.repeat(shift, T, axis=0).astype(self.dtype),
+                self.linear1.kernel.astype(self.dtype),
+                self.linear1.bias.astype(self.dtype),
+                self.linear2.kernel.astype(self.dtype),
+                self.linear2.bias.astype(self.dtype),
+                p.norm.scale, p.norm.bias,
+                p.out_layers_2.kernel.astype(self.dtype),
+                p.out_layers_2.bias.astype(self.dtype))
+            return out.reshape(B, T, D)
+        y = self.linear1(x)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        y = nn.Dense(self.latent_dim, dtype=self.dtype, kernel_init=zero_init,
-                     bias_init=zero_init, name="linear2")(y)
-        y = StylizationBlock(self.latent_dim, self.dropout, dtype=self.dtype,
-                             name="proj_out")(y, emb, deterministic=deterministic)
+        y = self.drop(y, deterministic=deterministic)
+        y = self.linear2(y)
+        y = self.proj_out(y, emb, deterministic=deterministic)
         return x + y
 
 

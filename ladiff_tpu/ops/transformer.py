@@ -50,7 +50,43 @@ class TransformerEncoderLayer(nn.Module):
     normalize_before: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        from ladiff_tpu.ops.param_layers import DenseParams, LNParams
+        D, F = self.d_model, self.ff_size
+        self.self_attn = MultiHeadAttention(D, self.num_heads, self.dropout,
+                                            dtype=self.dtype, name="self_attn")
+        self.linear1 = DenseParams(D, F, dtype=self.dtype, name="linear1")
+        self.linear2 = DenseParams(F, D, dtype=self.dtype, name="linear2")
+        self.norm1 = LNParams(D, dtype=self.dtype, name="norm1")
+        self.norm2 = LNParams(D, dtype=self.dtype, name="norm2")
+        self.drop = nn.Dropout(self.dropout)
+
+    def _ffn_tail(self, resid_sum: jax.Array,
+                  deterministic: bool) -> jax.Array:
+        """norm1(x+attn) -> FFN -> norm2(residual): fused pallas kernel at
+        inference on TPU, XLA ops otherwise/when training."""
+        D = self.d_model
+        if (deterministic and D % 128 == 0 and self.ff_size % 128 == 0
+                and self.activation in ("relu", "gelu")
+                and jax.default_backend() == "tpu"):
+            from ladiff_tpu.ops.pallas_postnorm_ffn import fused_postnorm_ffn
+            B, S, _ = resid_sum.shape
+            out = fused_postnorm_ffn(
+                resid_sum.reshape(B * S, D).astype(self.dtype),
+                self.linear1.kernel.astype(self.dtype),
+                self.linear1.bias.astype(self.dtype),
+                self.linear2.kernel.astype(self.dtype),
+                self.linear2.bias.astype(self.dtype),
+                self.norm1.scale, self.norm1.bias,
+                self.norm2.scale, self.norm2.bias,
+                activation=self.activation)
+            return out.reshape(B, S, D)
+        act = get_activation(self.activation)
+        h = self.norm1(resid_sum)
+        y = self.linear2(self.drop(act(self.linear1(h)),
+                                   deterministic=deterministic))
+        return self.norm2(h + self.drop(y, deterministic=deterministic))
+
     def __call__(
         self,
         src: jax.Array,
@@ -62,28 +98,22 @@ class TransformerEncoderLayer(nn.Module):
         """``extra_kv`` [B, S_extra, D]: additional key/value tokens that are
         attended to but produce no outputs.  Exactly equivalent to running
         the layer on ``concat([src, extra_kv])`` and slicing the first S
-        outputs (the MD denoiser does this every layer; skipping the
-        discarded rows' q-side attention + FFN saves their compute)."""
-        attn = MultiHeadAttention(self.d_model, self.num_heads, self.dropout,
-                                  dtype=self.dtype, name="self_attn")
-        linear1 = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")
-        linear2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")
-        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
-        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        outputs."""
+        attn = self.self_attn
+        drop = lambda x: self.drop(x, deterministic=deterministic)
         act = get_activation(self.activation)
-        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         def with_pos(x):
             return x if pos is None else x + pos
 
         if self.normalize_before:
             assert extra_kv is None, "extra_kv only supported post-norm"
-            x2 = norm1(src)
+            x2 = self.norm1(src)
             qk = with_pos(x2)
             x2 = attn(qk, qk, x2, key_valid, deterministic=deterministic)
             src = src + drop(x2)
-            x2 = norm2(src)
-            x2 = linear2(drop(act(linear1(x2))))
+            x2 = self.norm2(src)
+            x2 = self.linear2(drop(act(self.linear1(x2))))
             return src + drop(x2)
         qk = with_pos(src)
         if extra_kv is not None:
@@ -91,9 +121,7 @@ class TransformerEncoderLayer(nn.Module):
             x2 = attn(qk, kv, kv, key_valid, deterministic=deterministic)
         else:
             x2 = attn(qk, qk, src, key_valid, deterministic=deterministic)
-        src = norm1(src + drop(x2))
-        x2 = linear2(drop(act(linear1(src))))
-        return norm2(src + drop(x2))
+        return self._ffn_tail(src + drop(x2), deterministic)
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -108,7 +136,44 @@ class TransformerDecoderLayer(nn.Module):
     normalize_before: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        from ladiff_tpu.ops.param_layers import DenseParams, LNParams
+        D, F = self.d_model, self.ff_size
+        self.self_attn = MultiHeadAttention(D, self.num_heads, self.dropout,
+                                            dtype=self.dtype, name="self_attn")
+        self.multihead_attn = MultiHeadAttention(
+            D, self.num_heads, self.dropout, dtype=self.dtype,
+            name="multihead_attn")
+        self.linear1 = DenseParams(D, F, dtype=self.dtype, name="linear1")
+        self.linear2 = DenseParams(F, D, dtype=self.dtype, name="linear2")
+        self.norm1 = LNParams(D, dtype=self.dtype, name="norm1")
+        self.norm2 = LNParams(D, dtype=self.dtype, name="norm2")
+        self.norm3 = LNParams(D, dtype=self.dtype, name="norm3")
+        self.drop_mod = nn.Dropout(self.dropout)
+
+    def _ffn_tail(self, resid_sum: jax.Array, ln_a, ln_b,
+                  deterministic: bool) -> jax.Array:
+        D = self.d_model
+        if (deterministic and D % 128 == 0 and self.ff_size % 128 == 0
+                and self.activation in ("relu", "gelu")
+                and jax.default_backend() == "tpu"):
+            from ladiff_tpu.ops.pallas_postnorm_ffn import fused_postnorm_ffn
+            B, S, _ = resid_sum.shape
+            out = fused_postnorm_ffn(
+                resid_sum.reshape(B * S, D).astype(self.dtype),
+                self.linear1.kernel.astype(self.dtype),
+                self.linear1.bias.astype(self.dtype),
+                self.linear2.kernel.astype(self.dtype),
+                self.linear2.bias.astype(self.dtype),
+                ln_a.scale, ln_a.bias, ln_b.scale, ln_b.bias,
+                activation=self.activation)
+            return out.reshape(B, S, D)
+        act = get_activation(self.activation)
+        h = ln_a(resid_sum)
+        y = self.linear2(self.drop_mod(act(self.linear1(h)),
+                                       deterministic=deterministic))
+        return ln_b(h + self.drop_mod(y, deterministic=deterministic))
+
     def __call__(
         self,
         tgt: jax.Array,
@@ -120,17 +185,12 @@ class TransformerDecoderLayer(nn.Module):
         deterministic: bool = True,
         return_cross_weights: bool = False,
     ):
-        self_attn = MultiHeadAttention(self.d_model, self.num_heads, self.dropout,
-                                       dtype=self.dtype, name="self_attn")
-        cross_attn = MultiHeadAttention(self.d_model, self.num_heads, self.dropout,
-                                        dtype=self.dtype, name="multihead_attn")
-        linear1 = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")
-        linear2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")
-        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
-        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
-        norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")
+        self_attn = self.self_attn
+        cross_attn = self.multihead_attn
+        linear1, linear2 = self.linear1, self.linear2
+        norm1, norm2, norm3 = self.norm1, self.norm2, self.norm3
         act = get_activation(self.activation)
-        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        drop = lambda x: self.drop_mod(x, deterministic=deterministic)
 
         def with_pos(x, p):
             return x if p is None else x + p
@@ -159,9 +219,7 @@ class TransformerDecoderLayer(nn.Module):
                 x2, cross_weights = out
             else:
                 x2 = out
-            tgt = norm2(tgt + drop(x2))
-            x2 = linear2(drop(act(linear1(tgt))))
-            tgt = norm3(tgt + drop(x2))
+            tgt = self._ffn_tail(tgt + drop(x2), norm2, norm3, deterministic)
         if return_cross_weights:
             return tgt, cross_weights
         return tgt

@@ -1,0 +1,194 @@
+"""Fused Pallas kernels (FFN tails, stylization): correctness vs the plain
+XLA module paths (interpret mode on CPU; real-hardware parity is exercised
+by bench/TPU runs, where the modules route through these kernels)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from ladiff_tpu.ops.stylization import LinearTemporalCrossAttention, StylizedFFN
+from ladiff_tpu.ops.transformer import TransformerEncoderLayer
+
+
+def _interpreted(fn):
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        return fn()
+    finally:
+        pl.pallas_call = orig
+
+
+def test_fused_stylized_ffn_matches_module():
+    from ladiff_tpu.ops.pallas_fused_ffn import fused_stylized_ffn
+
+    B, T, D, F = 3, 9, 256, 1024
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    emb = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    mod = StylizedFFN(latent_dim=D, ffn_dim=F)
+    params = mod.init(jax.random.PRNGKey(0), x, emb)
+    # randomize the zero-init linears so the test is non-trivial
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32)) * 0.05,
+        params)
+    want = np.asarray(mod.apply(p, x, emb))  # CPU -> plain XLA path
+
+    pp = p["params"]
+    scale_shift = jnp.split(
+        (jax.nn.silu(emb) @ pp["proj_out"]["emb_layers_1"]["kernel"]
+         + pp["proj_out"]["emb_layers_1"]["bias"]), 2, axis=-1)
+    got = _interpreted(lambda: np.asarray(fused_stylized_ffn(
+        x.reshape(B * T, D),
+        jnp.repeat(scale_shift[0], T, axis=0),
+        jnp.repeat(scale_shift[1], T, axis=0),
+        pp["linear1"]["kernel"], pp["linear1"]["bias"],
+        pp["linear2"]["kernel"], pp["linear2"]["bias"],
+        pp["proj_out"]["norm"]["scale"], pp["proj_out"]["norm"]["bias"],
+        pp["proj_out"]["out_layers_2"]["kernel"],
+        pp["proj_out"]["out_layers_2"]["bias"]).reshape(B, T, D)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def _postnorm_tail_ref(x, pp, activation):
+    def ln(h, w):
+        mu = h.mean(-1, keepdims=True)
+        var = ((h - mu) ** 2).mean(-1, keepdims=True)
+        return (h - mu) * jax.lax.rsqrt(var + 1e-5) * w["scale"] + w["bias"]
+
+    act = jax.nn.relu if activation == "relu" else (
+        lambda v: jax.nn.gelu(v, approximate=False))
+    h = ln(x, pp["norm1"])
+    y = act(h @ pp["linear1"]["kernel"] + pp["linear1"]["bias"])
+    y = y @ pp["linear2"]["kernel"] + pp["linear2"]["bias"]
+    return ln(h + y, pp["norm2"])
+
+
+def test_fused_postnorm_ffn_matches_xla():
+    from ladiff_tpu.ops.pallas_postnorm_ffn import fused_postnorm_ffn
+
+    M, D, F = 40, 256, 1024
+    rng = np.random.RandomState(1)
+    for activation in ("relu", "gelu"):
+        x = jnp.asarray(rng.randn(M, D).astype(np.float32))
+        pp = {
+            "linear1": {"kernel": jnp.asarray(
+                rng.randn(D, F).astype(np.float32) * 0.05),
+                "bias": jnp.asarray(rng.randn(F).astype(np.float32))},
+            "linear2": {"kernel": jnp.asarray(
+                rng.randn(F, D).astype(np.float32) * 0.05),
+                "bias": jnp.asarray(rng.randn(D).astype(np.float32))},
+            "norm1": {"scale": jnp.asarray(rng.randn(D).astype(np.float32)),
+                      "bias": jnp.asarray(rng.randn(D).astype(np.float32))},
+            "norm2": {"scale": jnp.asarray(rng.randn(D).astype(np.float32)),
+                      "bias": jnp.asarray(rng.randn(D).astype(np.float32))},
+        }
+        want = np.asarray(_postnorm_tail_ref(x, pp, activation))
+        got = _interpreted(lambda: np.asarray(fused_postnorm_ffn(
+            x, pp["linear1"]["kernel"], pp["linear1"]["bias"],
+            pp["linear2"]["kernel"], pp["linear2"]["bias"],
+            pp["norm1"]["scale"], pp["norm1"]["bias"],
+            pp["norm2"]["scale"], pp["norm2"]["bias"],
+            activation=activation)))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_encoder_layer_tail_routes_identically():
+    """The setup()-refactored encoder layer (param-addressable linears) must
+    produce the same tree names and outputs as before the refactor."""
+    B, S, D = 2, 12, 256
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(B, S, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(B, S) > 0.2)
+    layer = TransformerEncoderLayer(D, 4, 1024, activation="gelu")
+    params = layer.init(jax.random.PRNGKey(0), x, valid)
+    names = sorted(params["params"].keys())
+    assert names == ["linear1", "linear2", "norm1", "norm2", "self_attn"]
+    assert params["params"]["linear1"]["kernel"].shape == (D, 1024)
+    out = layer.apply(params, x, valid)
+    assert out.shape == (B, S, D)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_broadcast_stylize_matches_module():
+    from ladiff_tpu.ops.pallas_stylize import fused_broadcast_stylize
+
+    B, T, D = 3, 5, 256
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    xf = jnp.asarray(rng.randn(B, 1, D).astype(np.float32))
+    emb = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(B, T) > 0.4)
+    mod = LinearTemporalCrossAttention(D, D, 4)
+    params = mod.init(jax.random.PRNGKey(0), x, xf, emb, valid)
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32)) * 0.05,
+        params)
+    want = np.asarray(mod.apply(p, x, xf, emb, valid))  # CPU: XLA collapse
+
+    pp = p["params"]
+    tn_w = pp["text_norm"]
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    tn = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * tn_w["scale"] + tn_w["bias"]
+    value = tn @ pp["value"]["kernel"] + pp["value"]["bias"]
+    scale, shift = jnp.split(
+        jax.nn.silu(emb) @ pp["proj_out"]["emb_layers_1"]["kernel"]
+        + pp["proj_out"]["emb_layers_1"]["bias"], 2, axis=-1)
+    got = _interpreted(lambda: np.asarray(fused_broadcast_stylize(
+        x.reshape(B * T, D),
+        jnp.repeat(value[:, 0, :], T, axis=0),
+        valid.reshape(B * T, 1).astype(jnp.float32),
+        jnp.repeat(scale, T, axis=0), jnp.repeat(shift, T, axis=0),
+        pp["proj_out"]["norm"]["scale"], pp["proj_out"]["norm"]["bias"],
+        pp["proj_out"]["out_layers_2"]["kernel"],
+        pp["proj_out"]["out_layers_2"]["bias"]).reshape(B, T, D)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_n1_collapse_matches_general_einsum():
+    """The single-text-token shortcut must equal the general softmax-linear
+    attention formula evaluated at N=1 (reference mdiff_transformer.py:206-247)."""
+    B, T, D, H = 4, 5, 64, 4
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    xf = jnp.asarray(rng.randn(B, 1, D).astype(np.float32))
+    emb = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(B, T) > 0.4)
+    mod = LinearTemporalCrossAttention(D, D, H)
+    params = mod.init(jax.random.PRNGKey(1), x, xf, emb, valid)
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32)) * 0.05,
+        params)
+    got = np.asarray(mod.apply(p, x, xf, emb, valid))
+
+    # general formula with the same params
+    pp = p["params"]
+
+    def ln(h, w):
+        mu = h.mean(-1, keepdims=True)
+        var = ((h - mu) ** 2).mean(-1, keepdims=True)
+        return (h - mu) * jax.lax.rsqrt(var + 1e-5) * w["scale"] + w["bias"]
+
+    xn = ln(x, pp["norm"])
+    tn = ln(xf, pp["text_norm"])
+    q = xn @ pp["query"]["kernel"] + pp["query"]["bias"]
+    k = tn @ pp["key"]["kernel"] + pp["key"]["bias"]
+    v = tn @ pp["value"]["kernel"] + pp["value"]["bias"]
+    q = jax.nn.softmax(q.reshape(B, T, H, -1), axis=-1)
+    k = jax.nn.softmax(k.reshape(B, 1, H, -1), axis=1)
+    v = v.reshape(B, 1, H, -1)
+    att = jnp.einsum("bnhd,bnhl->bhdl", k, v)
+    q = q * valid[:, :, None, None]
+    y = jnp.einsum("bnhd,bhdl->bnhl", q, att).reshape(B, T, D)
+    scale, shift = jnp.split(
+        jax.nn.silu(emb) @ pp["proj_out"]["emb_layers_1"]["kernel"]
+        + pp["proj_out"]["emb_layers_1"]["bias"], 2, axis=-1)
+    h = ln(y, pp["proj_out"]["norm"]) * (1 + scale[:, None, :]) + shift[:, None, :]
+    h = jax.nn.silu(h)
+    want = np.asarray(
+        x + (h @ pp["proj_out"]["out_layers_2"]["kernel"]
+             + pp["proj_out"]["out_layers_2"]["bias"]))
+    np.testing.assert_allclose(got, want, atol=1e-5)
