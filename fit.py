@@ -22,15 +22,29 @@ import numpy as np
 
 
 def fit_sequence(model, target_joints: np.ndarray, iters: int = 300,
-                 lr: float = 0.05, pose_reg: float = 1e-3,
-                 verbose: bool = False):
-    """target_joints: [T, J<=24, 3] -> dict of pose/betas/trans + losses."""
+                 lr: float = 0.05, smooth_weight: float = 1e-3,
+                 gmm_dir: str = "deps/gmm", verbose: bool = False):
+    """target_joints: [T, J<=24, 3] -> dict of pose/betas/trans + losses.
+
+    Loss follows the reference's ``body_fitting_loss_3d``
+    (customloss.py:128-183): Geman-McClure joint error (sigma 100, weight
+    500²), GMM max-mixture pose prior (weight (4.78·1.5)², L2 fallback when
+    the gmm_06.pkl asset is absent), knee/elbow angle prior (15.2²) and
+    betas shape prior (5²) — plus a temporal smoothness term the reference
+    doesn't need (it seeds each frame with the previous frame's fit; we fit
+    all frames in parallel instead)."""
     import jax
     import jax.numpy as jnp
     import optax
 
+    from ladiff_tpu.smpl.prior import angle_prior, create_prior, gmof
+
     T, J, _ = target_joints.shape
     target = jnp.asarray(target_joints, jnp.float32)
+    pose_prior = create_prior("gmm", gmm_dir)
+    # normalize the reference's summed loss by T*J so lr behaves across
+    # sequence lengths
+    scale = 1.0 / (T * J)
 
     params = {
         "pose": jnp.zeros((T, 24, 3)),
@@ -41,12 +55,13 @@ def fit_sequence(model, target_joints: np.ndarray, iters: int = 300,
 
     def loss_fn(p):
         joints = model.forward(p["pose"], p["betas"], p["trans"])
-        jl = jnp.mean((joints[:, :J] - target) ** 2)
-        # pose regularizer stands in for the reference's GMM prior
-        # (prior.py MaxMixturePrior) — keeps rotations near rest
-        reg = pose_reg * jnp.mean(p["pose"] ** 2)
-        smooth = pose_reg * jnp.mean((p["pose"][1:] - p["pose"][:-1]) ** 2)
-        return jl + reg + smooth
+        body_pose = p["pose"][:, 1:].reshape(T, 69)
+        jl = (500.0 ** 2) * gmof(joints[:, :J] - target, 100.0).sum((-1, -2))
+        prior_l = ((4.78 * 1.5) ** 2) * pose_prior(body_pose, p["betas"])
+        ang_l = (15.2 ** 2) * angle_prior(body_pose).sum(-1)
+        shape_l = (5.0 ** 2) * jnp.sum(p["betas"] ** 2)
+        smooth = smooth_weight * jnp.sum((p["pose"][1:] - p["pose"][:-1]) ** 2)
+        return scale * (jnp.sum(jl + prior_l + ang_l) + shape_l + smooth)
 
     tx = optax.adam(lr)
     opt_state = tx.init(params)
@@ -73,6 +88,9 @@ def main():
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--smpl", type=str,
                     default="deps/smpl_models/smpl/SMPL_NEUTRAL.pkl")
+    ap.add_argument("--gmm", type=str, default="deps/gmm",
+                    help="folder with gmm_06.pkl (SMPLify pose prior); "
+                         "falls back to an L2 prior when absent")
     args = ap.parse_args()
 
     model = SMPLModel.load(args.smpl)
@@ -96,7 +114,7 @@ def main():
             continue
         print(f"fitting {f} ({joints.shape[0]} frames)...")
         params, loss = fit_sequence(model, joints, iters=args.iters,
-                                    verbose=True)
+                                    gmm_dir=args.gmm, verbose=True)
         out = f.rsplit(".", 1)[0] + "_smpl.npz"
         np.savez(out, **params)
         print(f"  -> {out} (final loss {loss:.6f})")
