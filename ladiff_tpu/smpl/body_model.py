@@ -31,6 +31,15 @@ SMPL_PARENTS = np.array(
     [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17,
      18, 19, 20, 21], np.int32)
 
+# SMPLH: 22 body joints (SMPL's minus the two hand roots) + 15 joints per
+# hand, three per finger in index/middle/pinky/ring/thumb order
+SMPLH_PARENTS = np.concatenate([
+    SMPL_PARENTS[:22],
+    np.array([20, 22, 23, 20, 25, 26, 20, 28, 29, 20, 31, 32, 20, 34, 35,
+              21, 37, 38, 21, 40, 41, 21, 43, 44, 21, 46, 47, 21, 49, 50],
+             np.int32),
+])
+
 
 @dataclasses.dataclass
 class SMPLModel:
@@ -40,6 +49,7 @@ class SMPLModel:
     J_regressor: jnp.ndarray    # [J, V]
     weights: jnp.ndarray        # [V, J]
     parents: np.ndarray         # [J]
+    hands_mean: Optional[np.ndarray] = None  # [30, 3] aa, SMPLH only (L;R)
 
     @property
     def num_joints(self) -> int:
@@ -60,6 +70,17 @@ class SMPLModel:
             if hasattr(x, "todense"):
                 x = np.asarray(x.todense())
             return jnp.asarray(np.asarray(x, np.float64), jnp.float32)
+        if "kintree_table" in d:
+            parents = np.asarray(d["kintree_table"][0], np.int64)
+            parents[0] = -1
+        else:
+            parents = SMPL_PARENTS
+        hands_mean = None
+        if "hands_meanl" in d:  # SMPLH
+            hands_mean = np.concatenate([
+                np.asarray(d["hands_meanl"], np.float64),
+                np.asarray(d["hands_meanr"], np.float64),
+            ]).reshape(30, 3).astype(np.float32)
         return cls(
             v_template=arr(d["v_template"]),
             shapedirs=arr(np.asarray(d["shapedirs"])[..., :10]),
@@ -69,15 +90,16 @@ class SMPLModel:
                 else d["posedirs"]),
             J_regressor=arr(d["J_regressor"]),
             weights=arr(d["weights"]),
-            parents=np.asarray(d.get("kintree_table",
-                                     [SMPL_PARENTS])[0], np.int64)
-            if "kintree_table" in d else SMPL_PARENTS,
+            parents=parents,
+            hands_mean=hands_mean,
         )
 
     @classmethod
-    def synthetic(cls, n_verts: int = 128, seed: int = 0) -> "SMPLModel":
+    def synthetic(cls, n_verts: int = 128, seed: int = 0,
+                  model_type: str = "smpl") -> "SMPLModel":
         rng = np.random.RandomState(seed)
-        J = 24
+        parents = SMPL_PARENTS if model_type == "smpl" else SMPLH_PARENTS
+        J = len(parents)
         v = rng.randn(n_verts, 3).astype(np.float32) * 0.3
         reg = rng.rand(J, n_verts).astype(np.float32)
         reg /= reg.sum(1, keepdims=True)
@@ -87,30 +109,39 @@ class SMPLModel:
             v_template=jnp.asarray(v),
             shapedirs=jnp.asarray(rng.randn(n_verts, 3, 10) * 0.01,
                                   dtype=jnp.float32),
-            posedirs=jnp.asarray(rng.randn(23 * 9, n_verts * 3) * 0.001,
+            posedirs=jnp.asarray(rng.randn((J - 1) * 9, n_verts * 3) * 0.001,
                                  dtype=jnp.float32),
             J_regressor=jnp.asarray(reg),
             weights=jnp.asarray(w),
-            parents=SMPL_PARENTS,
+            parents=parents,
+            hands_mean=(np.zeros((30, 3), np.float32)
+                        if model_type == "smplh" else None),
         )
 
     # ------------------------------------------------------------------
     def forward(self, pose_aa: jax.Array, betas: jax.Array,
                 trans: Optional[jax.Array] = None,
                 return_vertices: bool = False):
-        """LBS forward.
+        """LBS forward from axis-angle pose [T, J, 3] (betas [10],
+        trans [T, 3]).  Returns joints [T, J, 3] (+ vertices)."""
+        rot = quaternion_to_matrix(
+            axis_angle_to_quaternion(pose_aa))                # [T, J, 3, 3]
+        return self.forward_matrices(rot, betas, trans,
+                                     return_vertices=return_vertices)
 
-        pose_aa: [T, 24, 3] axis-angle; betas: [10]; trans: [T, 3].
-        Returns joints [T, 24, 3] (and vertices [T, V, 3] if requested).
+    def forward_matrices(self, rot: jax.Array, betas: jax.Array,
+                         trans: Optional[jax.Array] = None,
+                         return_vertices: bool = False):
+        """LBS forward from rotation matrices.
+
+        rot: [T, J, 3, 3]; betas: [10]; trans: [T, 3].
+        Returns joints [T, J, 3] (and vertices [T, V, 3] if requested).
         """
-        T = pose_aa.shape[0]
+        T = rot.shape[0]
         J = self.num_joints
         v_shaped = self.v_template + jnp.einsum(
             "vdb,b->vd", self.shapedirs, betas)
         j_rest = self.J_regressor @ v_shaped                  # [J, 3]
-
-        rot = quaternion_to_matrix(
-            axis_angle_to_quaternion(pose_aa))                # [T, J, 3, 3]
 
         # pose blendshapes from non-root rotations
         ident = jnp.eye(3)
