@@ -27,7 +27,7 @@ from ladiff_tpu.data.humanml import quaternion as Q
 
 __all__ = ["HumanAct12Dataset", "UESTCDataset", "a2m_collate",
            "sample_frame_indices", "axis_angle_to_rot6d",
-           "generate_synthetic_humanact12",
+           "generate_synthetic_humanact12", "generate_synthetic_uestc",
            "HUMANACT12_ACTION_NAMES"]
 
 HUMANACT12_ACTION_NAMES = {
@@ -158,32 +158,148 @@ class HumanAct12Dataset(_ActionDataset):
         return (24 + int(self.translation)) * 6
 
 
+# the 18 action2motion joints selected out of VIBE's 49-joint output, with
+# root (8) and nose (0) swapped (reference a2m/uestc.py:10-12)
+ACTION2MOTION_JOINTS = [8, 1, 2, 3, 4, 5, 6, 7, 0, 9, 10, 11, 12, 13, 14,
+                        21, 24, 38]
+
+# 51 training subjects out of 118 (reference a2m/uestc.py:79-84)
+UESTC_TRAIN_SUBJECTS = [
+    1, 2, 6, 12, 13, 16, 21, 24, 28, 29, 30, 31, 33, 35, 39, 41, 42, 45,
+    47, 50, 52, 54, 55, 57, 59, 61, 63, 64, 67, 69, 70, 71, 73, 77, 81,
+    84, 86, 87, 88, 90, 91, 93, 96, 99, 102, 103, 104, 107, 108, 112, 113,
+]
+
+
+def get_z(cam_s, cam_pos, joints, img_size, flength):
+    """Depth offset approximating the perspective camera with VIBE's
+    orthographic one (reference a2m/uestc.py:15-28)."""
+    joints_orth_target = (cam_s * (joints[:, :2] + cam_pos) + 1) * 0.5 * img_size
+    height3d = np.linalg.norm(
+        joints[:, :2].max(0) - joints[:, :2].min(0))
+    height2d = np.linalg.norm(
+        joints_orth_target.max(0) - joints_orth_target.min(0))
+    return float(flength * (height3d / height2d))
+
+
+def get_trans_from_vibe(vibe: dict, index: int,
+                        use_z: bool = True) -> np.ndarray:
+    """Per-frame global translation from VIBE's original-image camera
+    (reference a2m/uestc.py:31-54), zeroed at the first frame."""
+    alltrans = []
+    for t in range(vibe["joints3d"][index].shape[0]):
+        cam_orig = vibe["orig_cam"][index][t]  # [sx, sy, tx, ty]
+        x, y = cam_orig[2], cam_orig[3]
+        z = get_z(cam_s=cam_orig[0], cam_pos=cam_orig[2:4],
+                  joints=vibe["joints3d"][index][t], img_size=540,
+                  flength=500) if use_z else 0.0
+        alltrans.append([x, y, z])
+    alltrans = np.asarray(alltrans, np.float32)
+    return alltrans - alltrans[0]
+
+
+def _yaw_rotation(view: int) -> np.ndarray:
+    """R_y(-view * pi/4) (reference a2m/uestc.py:146-151)."""
+    theta = -view * np.pi / 4
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
 class UESTCDataset(_ActionDataset):
-    """reference a2m/uestc.py — 40 classes; expects the preprocessed
-    ``uestc_rotvec`` pickles + split info files under ``datapath``."""
+    """reference a2m/uestc.py:57-254 — 40 classes, full VIBE preprocessing:
+    video-name parsing (a{act}_d{view}_p{subject}_c{side}), per-view yaw
+    rotation of non-frontal captures to the front view, camera-derived
+    global translation (cached to globtrans_usez.pkl), min-frame clamping,
+    51/67 subject train/test split, and frame-count filtering of train."""
 
     dataname = "uestc"
 
-    def __init__(self, datapath: str, **kwargs):
+    def __init__(self, datapath: str, view: str = "all", **kwargs):
         super().__init__(**kwargs)
-        info_path = pjoin(datapath, "info")
+        self.view = view
         pkl_path = pjoin(datapath, "vibe_cache_refined.pkl")
         if not os.path.exists(pkl_path):
             raise FileNotFoundError(
                 f"UESTC preprocessed cache not found at {pkl_path}")
         with open(pkl_path, "rb") as f:
-            data = pickle.load(f)
-        self._pose = [np.asarray(x, np.float32) for x in data["pose"]]
-        self._joints = [np.asarray(x, np.float32) for x in data["joints3d"]] \
-            if "joints3d" in data else None
-        self._actions = [int(x) for x in data["y"]]
-        self._num_frames_in_video = [len(p) for p in self._pose]
+            vibe = pickle.load(f)
+
+        info = pjoin(datapath, "info")
+        with open(pjoin(info, "names.txt")) as f:
+            videos = f.read().splitlines()
+        with open(pjoin(info, "num_frames_min.txt")) as f:
+            num_frames_video = np.asarray(
+                [int(s) for s in f.read().splitlines()])
+        with open(pjoin(info, "action_classes.txt")) as f:
+            self._action_classes = np.array(f.read().splitlines())
+
+        self._pose = [np.asarray(x, np.float32) for x in vibe["pose"]]
+        self._joints = [np.asarray(x, np.float32)[:, ACTION2MOTION_JOINTS]
+                        for x in vibe["joints3d"]]
+
+        globpath = pjoin(datapath, "globtrans_usez.pkl")
+        if os.path.exists(globpath):
+            with open(globpath, "rb") as f:
+                globtrans = pickle.load(f)
+        else:
+            # joints3d must be the full VIBE joints for the depth solve
+            globtrans = [get_trans_from_vibe(vibe, i, use_z=True)
+                         for i in range(len(self._pose))]
+            try:
+                with open(globpath, "wb") as f:
+                    pickle.dump(globtrans, f)
+            except OSError:
+                pass
+        self._globtrans = [np.asarray(g, np.float32) for g in globtrans]
+
+        num_frames_video = np.minimum(
+            num_frames_video, np.array([len(p) for p in self._pose]))
+        self._num_frames_in_video = [int(x) for x in num_frames_video]
+
+        self._actions = [self._parse_video(v)[0] for v in videos]
         self.num_classes = 40
-        self._action_classes = {i: f"action_{i}" for i in range(40)}
-        n = len(self._pose)
-        split_at = int(0.8 * n)
-        self._train = list(range(split_at))
-        self._test = list(range(split_at, n))
+
+        test_subjects = [s for s in range(1, 119)
+                         if s not in UESTC_TRAIN_SUBJECTS]
+        self._train, self._test = [], []
+        self.info_actions = []
+        for index, video in enumerate(videos):
+            act, vw, subject, side = self._parse_video(video)
+            self.info_actions.append({"action": act, "view": vw,
+                                      "subject": subject, "side": side})
+            if self.view == "frontview" and side != 1:
+                continue
+            if side != 1:
+                if vw == 8:  # view 8 side 2 is dropped (uestc.py:172-174)
+                    continue
+                R = _yaw_rotation(vw)
+                from ladiff_tpu.transforms.geometry import (
+                    axis_angle_to_matrix, matrix_to_axis_angle)
+                gmat = axis_angle_to_matrix(self._pose[index][:, :3])
+                self._pose[index][:, :3] = matrix_to_axis_angle(
+                    R @ gmat).astype(np.float32)
+                self._joints[index] = self._joints[index] @ R.T
+                self._globtrans[index] = self._globtrans[index] @ R.T
+            self._joints[index] = (self._joints[index]
+                                   + self._globtrans[index][:, None])
+            if subject in UESTC_TRAIN_SUBJECTS:
+                self._train.append(index)
+            elif subject in test_subjects:
+                self._test.append(index)
+
+        # drop train sequences below 3/4 of the requested window
+        threshold = self.num_frames * 3 / 4 if self.num_frames > 0 else 0
+        long_enough = set(np.where(num_frames_video >= threshold)[0].tolist())
+        self._train = sorted(set(self._train) & long_enough)
+        self._test = sorted(set(self._test))
+
+    @staticmethod
+    def _parse_video(videopath: str):
+        """'a{act}_d{view}_p{subject}_c{side}_color.avi' -> ints
+        (reference uestc.py:228-235)."""
+        spl = videopath.split("_")
+        return (int(spl[0][1:]), int(spl[1][1:]), int(spl[2][1:]),
+                int(spl[3][1:]))
 
     @property
     def nfeats(self):
@@ -207,6 +323,42 @@ def a2m_collate(items: List[dict], num_frames: int) -> dict:
         "mask": mask,
         "length": lengths,
     }
+
+
+def generate_synthetic_uestc(root: str, n_videos: int = 24,
+                             seed: int = 0) -> str:
+    """Synthetic UESTC datapath with the real layout: a VIBE cache
+    (pose/joints3d/orig_cam) + info/{names,num_frames_min,action_classes}.
+    Video names cycle actions/views/subjects/sides so every preprocessing
+    branch (front/side captures, train/test subjects) is exercised."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(pjoin(root, "info"), exist_ok=True)
+    names, nframes, poses, joints, cams = [], [], [], [], []
+    subjects = [1, 3]  # 1 is a train subject, 3 is test
+    for i in range(n_videos):
+        act = i % 40
+        view = i % 8
+        subject = subjects[i % 2]
+        side = 1 + (i % 2)
+        names.append(f"a{act}_d{view}_p{subject:03d}_c{side}_color.avi")
+        T = rng.randint(50, 90)
+        nframes.append(T)
+        poses.append(np.cumsum(
+            rng.randn(T, 72).astype(np.float32) * 0.02, axis=0))
+        joints.append(np.cumsum(
+            rng.randn(T, 49, 3).astype(np.float32) * 0.01, axis=0))
+        cam = np.ones((T, 4), np.float32)
+        cam[:, 2:] = rng.randn(T, 2).astype(np.float32) * 0.1
+        cams.append(cam)
+    with open(pjoin(root, "vibe_cache_refined.pkl"), "wb") as f:
+        pickle.dump({"pose": poses, "joints3d": joints, "orig_cam": cams}, f)
+    with open(pjoin(root, "info", "names.txt"), "w") as f:
+        f.write("\n".join(names))
+    with open(pjoin(root, "info", "num_frames_min.txt"), "w") as f:
+        f.write("\n".join(str(n) for n in nframes))
+    with open(pjoin(root, "info", "action_classes.txt"), "w") as f:
+        f.write("\n".join(f"action_{i}" for i in range(40)))
+    return root
 
 
 def generate_synthetic_humanact12(root: str, n_clips: int = 48,
