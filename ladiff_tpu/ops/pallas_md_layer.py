@@ -1,0 +1,250 @@
+"""Fully-fused MD denoiser layer: ONE pallas kernel per layer.
+
+The denoiser's per-step cost is HBM/launch-bound: even with the FFN tails
+fused (pallas_fused_ffn / pallas_postnorm_ffn / pallas_stylize), each MD
+layer still round-trips activations through ~10 XLA kernels for the
+self-attention segment.  This kernel runs the ENTIRE layer —
+
+    tokens = [x ; text ; time]                       (extra rows as k/v only)
+    sa:   qkv GEMM -> 4-head masked attention -> out proj -> +x
+          -> LN -> relu FFN -> LN                    (post-norm tail)
+    ca:   single-text-token collapse (v broadcast) -> AdaLN -> silu -> proj
+    ffn:  gelu FFN -> AdaLN -> silu -> proj -> residual
+
+— in one pallas_call blocked over SAMPLES, so activations live in VMEM
+end-to-end and the per-sample AdaLN scale/shift/value tensors stay [B, D]
+(no jnp.repeat materialization in HBM).
+
+Attention trick: with T=9 latent + E=2 extra tokens per sample, a block of
+``Bb`` samples is flattened to [Bb*T, D] rows and attention uses a
+block-diagonal same-sample bias.  Per-head scores are computed as full
+[rows, keys] GEMMs with a disjoint lane mask per head (lane_iota // Dh ==
+h): ~H x the minimal FLOPs, but these matmuls are tiny and the MXU is
+otherwise idle — while avoiding sub-128-lane slices Mosaic can't do.
+
+Exactly equivalent to MDTransformerLayer's XLA path (the reference
+mdiff_transformer.py:265-321 semantics); verified in
+tests/test_pallas_fused.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_md_layer"]
+
+_NEG_INF = -1e9
+
+
+def _ln(x, scale, bias):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+
+def _erf(x):
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b):
+    # a [M, D] x b [K, D] -> [M, K] (contract on D, no transpose copy)
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _expand_rows(per_sample, Bb, T, D):
+    """[Bb, D] -> [Bb*T, D] (each sample's row repeated T times)."""
+    return jnp.broadcast_to(per_sample[:, None, :], (Bb, T, D)).reshape(
+        Bb * T, D)
+
+
+def _kernel(x_ref, extra_ref, kvalid_ref, value_ref,
+            ca_scale_ref, ca_shift_ref, ffn_scale_ref, ffn_shift_ref,
+            wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+            ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            ln2s_ref, ln2b_ref,
+            ca_lns_ref, ca_lnb_ref, wca_ref, bca_ref,
+            f_w1_ref, f_b1_ref, f_w2_ref, f_b2_ref,
+            f_lns_ref, f_lnb_ref, f_wp_ref, f_bp_ref,
+            out_ref, *, T: int, E: int, H: int):
+    Bb = value_ref.shape[0]
+    M = Bb * T           # latent rows in this block
+    KE = Bb * E          # extra rows
+    D = x_ref.shape[-1]
+    Dh = D // H
+    dtype = x_ref.dtype
+
+    x = x_ref[...]
+
+    # --- self-attention over [latents ; extras] -------------------------
+    qkv = _dot(x, wqkv_ref[...]) + bqkv_ref[...].astype(jnp.float32)
+    q = qkv[:, :D]
+    kx = qkv[:, D:2 * D]
+    vx = qkv[:, 2 * D:]
+    # full-width GEMM + bias for the extra rows, columns sliced AFTER the
+    # add — slicing the bias vector before a broadcast trips Mosaic's
+    # layout checks at small row counts
+    qkv_e = _dot(extra_ref[...], wqkv_ref[...]) \
+        + bqkv_ref[...].astype(jnp.float32)
+    k = jnp.concatenate([kx, qkv_e[:, D:2 * D]], axis=0)  # [M+KE, D]
+    v = jnp.concatenate([vx, qkv_e[:, 2 * D:]], axis=0)
+
+    # block-diagonal same-sample bias + latent-row key validity
+    rq = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) // T
+    rk = jnp.concatenate([
+        jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) // T,
+        jax.lax.broadcasted_iota(jnp.int32, (KE, 1), 0) // E,
+    ], axis=0)                                           # [M+KE, 1]
+    kval = jnp.concatenate([
+        kvalid_ref[...].astype(jnp.float32),
+        jnp.ones((KE, 1), jnp.float32),
+    ], axis=0)
+    same = (rq == rk.reshape(1, M + KE)) & (kval.reshape(1, M + KE) > 0.5)
+    bias = jnp.where(same, 0.0, _NEG_INF)
+
+    scale = 1.0 / (Dh ** 0.5)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1) // Dh
+    qf = q.astype(dtype)
+    kf = k.astype(dtype)
+    vf = v.astype(dtype)
+    ctx = jnp.zeros((M, D), jnp.float32)
+    for h in range(H):
+        hm = (lane == h).astype(dtype)
+        s = _dot_t(qf * hm, kf) * scale + bias           # [M, M+KE] f32
+        w = jax.nn.softmax(s, axis=-1).astype(dtype)
+        ctx = ctx + _dot(w, vf) * hm.astype(jnp.float32)
+
+    attn = _dot(ctx.astype(dtype), wout_ref[...]) \
+        + bout_ref[...].astype(jnp.float32)
+    resid = x.astype(jnp.float32) + attn
+
+    # --- sa post-norm relu FFN tail --------------------------------------
+    h1 = _ln(resid, ln1s_ref[...].astype(jnp.float32),
+             ln1b_ref[...].astype(jnp.float32))
+    y = _dot(h1.astype(dtype), w1_ref[...]) + b1_ref[...].astype(jnp.float32)
+    y = jnp.maximum(y, 0.0)
+    y = _dot(y.astype(dtype), w2_ref[...]) + b2_ref[...].astype(jnp.float32)
+    x2 = _ln(h1 + y, ln2s_ref[...].astype(jnp.float32),
+             ln2b_ref[...].astype(jnp.float32))
+
+    # --- ca collapse (single text token) + stylization -------------------
+    val_rows = _expand_rows(value_ref[...].astype(jnp.float32), Bb, T, D)
+    yv = val_rows * kvalid_ref[...].astype(jnp.float32)
+    h2 = _ln(yv, ca_lns_ref[...].astype(jnp.float32),
+             ca_lnb_ref[...].astype(jnp.float32))
+    h2 = h2 * (1.0 + _expand_rows(ca_scale_ref[...].astype(jnp.float32),
+                                  Bb, T, D)) \
+        + _expand_rows(ca_shift_ref[...].astype(jnp.float32), Bb, T, D)
+    h2 = h2 * jax.nn.sigmoid(h2)
+    x3 = x2 + _dot(h2.astype(dtype), wca_ref[...]) \
+        + bca_ref[...].astype(jnp.float32)
+
+    # --- stylized gelu FFN ------------------------------------------------
+    y2 = _dot(x3.astype(dtype), f_w1_ref[...]) \
+        + f_b1_ref[...].astype(jnp.float32)
+    y2 = 0.5 * y2 * (1.0 + _erf(y2 * 0.7071067811865476))
+    y2 = _dot(y2.astype(dtype), f_w2_ref[...]) \
+        + f_b2_ref[...].astype(jnp.float32)
+    h3 = _ln(y2, f_lns_ref[...].astype(jnp.float32),
+             f_lnb_ref[...].astype(jnp.float32))
+    h3 = h3 * (1.0 + _expand_rows(ffn_scale_ref[...].astype(jnp.float32),
+                                  Bb, T, D)) \
+        + _expand_rows(ffn_shift_ref[...].astype(jnp.float32), Bb, T, D)
+    h3 = h3 * jax.nn.sigmoid(h3)
+    out = x3 + _dot(h3.astype(dtype), f_wp_ref[...]) \
+        + f_bp_ref[...].astype(jnp.float32)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "E", "H", "block_samples"))
+def fused_md_layer(
+    x: jax.Array,          # [B*T, D] latent rows
+    extra: jax.Array,      # [B*E, D] text+time rows (k/v only)
+    kvalid: jax.Array,     # [B*T, 1] f32 latent-row validity
+    value: jax.Array,      # [B, D] collapsed ca text value
+    ca_scale: jax.Array, ca_shift: jax.Array,    # [B, D]
+    ffn_scale: jax.Array, ffn_shift: jax.Array,  # [B, D]
+    sa: dict, ca_proj: dict, ffn: dict,
+    *, T: int, E: int, H: int, block_samples: int = 32,
+) -> jax.Array:
+    """sa/ca_proj/ffn are param dicts (see MDTransformerLayer)."""
+    BT, D = x.shape
+    B = BT // T
+    F1 = sa["linear1"]["kernel"].shape[1]
+    F2 = ffn["linear1"]["kernel"].shape[1]
+    Bb = min(block_samples, B)
+    grid = (pl.cdiv(B, Bb),)
+    dtype = x.dtype
+
+    def rows_T(i):
+        return (i, 0)
+
+    def rep(i):
+        return (0, 0)
+
+    lat = pl.BlockSpec((Bb * T, D), rows_T, memory_space=pltpu.VMEM)
+    ext = pl.BlockSpec((Bb * E, D), rows_T, memory_space=pltpu.VMEM)
+    per_s = pl.BlockSpec((Bb, D), rows_T, memory_space=pltpu.VMEM)
+    vecD = pl.BlockSpec((1, D), rep, memory_space=pltpu.VMEM)
+
+    def w(shape):
+        return pl.BlockSpec(shape, rep, memory_space=pltpu.VMEM)
+
+    c = lambda a: a.astype(dtype)
+    vec = lambda a: a.reshape(1, -1)
+    kernel = functools.partial(_kernel, T=T, E=E, H=H)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            lat,                                  # x
+            ext,                                  # extra
+            pl.BlockSpec((Bb * T, 1), rows_T, memory_space=pltpu.VMEM),
+            per_s, per_s, per_s, per_s, per_s,    # value, scales/shifts
+            w((D, 3 * D)), w((1, 3 * D)),         # qkv
+            w((D, D)), vecD,                      # out proj
+            vecD, vecD,                           # ln1
+            w((D, F1)), w((1, F1)), w((F1, D)), vecD,  # sa ffn
+            vecD, vecD,                           # ln2
+            vecD, vecD,                           # ca ln
+            w((D, D)), vecD,                      # ca proj
+            w((D, F2)), w((1, F2)), w((F2, D)), vecD,  # stylized ffn
+            vecD, vecD,                           # ffn ln
+            w((D, D)), vecD,                      # ffn proj
+        ],
+        out_specs=lat,
+        out_shape=jax.ShapeDtypeStruct((BT, D), dtype),
+    )(
+        x, extra.astype(dtype), kvalid.astype(jnp.float32),
+        c(value), c(ca_scale), c(ca_shift), c(ffn_scale), c(ffn_shift),
+        c(sa["self_attn"]["in_proj_kernel"]),
+        vec(c(sa["self_attn"]["in_proj_bias"])),
+        c(sa["self_attn"]["out_proj"]["kernel"]),
+        vec(c(sa["self_attn"]["out_proj"]["bias"])),
+        vec(sa["norm1"]["scale"]), vec(sa["norm1"]["bias"]),
+        c(sa["linear1"]["kernel"]), vec(c(sa["linear1"]["bias"])),
+        c(sa["linear2"]["kernel"]), vec(c(sa["linear2"]["bias"])),
+        vec(sa["norm2"]["scale"]), vec(sa["norm2"]["bias"]),
+        vec(ca_proj["norm"]["scale"]), vec(ca_proj["norm"]["bias"]),
+        c(ca_proj["out_layers_2"]["kernel"]),
+        vec(c(ca_proj["out_layers_2"]["bias"])),
+        c(ffn["linear1"]["kernel"]), vec(c(ffn["linear1"]["bias"])),
+        c(ffn["linear2"]["kernel"]), vec(c(ffn["linear2"]["bias"])),
+        vec(ffn["proj_out"]["norm"]["scale"]),
+        vec(ffn["proj_out"]["norm"]["bias"]),
+        c(ffn["proj_out"]["out_layers_2"]["kernel"]),
+        vec(c(ffn["proj_out"]["out_layers_2"]["bias"])),
+    )

@@ -229,7 +229,58 @@ class MDTransformerLayer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.sa_block = TransformerEncoderLayer(
+            self.d_model, self.num_heads, 1024, self.dropout, "relu", False,
+            dtype=self.dtype, name="sa_block")
+        self.ca_block = LinearTemporalCrossAttention(
+            self.d_model, self.text_latent_dim, self.num_heads, self.dropout,
+            dtype=self.dtype, name="ca_block")
+        self.ffn = StylizedFFN(self.d_model, self.ffn_dim, self.dropout,
+                               dtype=self.dtype, name="ffn")
+
+    def _fused(self, x, xf, emb, latent_valid):
+        """Whole layer as ONE pallas kernel (pallas_md_layer) — inference
+        on TPU only; reads the children's params directly."""
+        from ladiff_tpu.ops.pallas_md_layer import fused_md_layer
+        B, T, D = x.shape
+        sa = self.sa_block.variables["params"]
+        ca = self.ca_block.variables["params"]
+        ffn = self.ffn.variables["params"]
+
+        # per-sample (cheap, [B, D]) pieces computed outside the kernel:
+        # collapsed ca text value, and both AdaLN scale/shift pairs
+        xf0 = xf[:, 0, :].astype(jnp.float32)
+        mu = xf0.mean(-1, keepdims=True)
+        var = ((xf0 - mu) ** 2).mean(-1, keepdims=True)
+        tn = ((xf0 - mu) * jax.lax.rsqrt(var + 1e-5)
+              * ca["text_norm"]["scale"]
+              + ca["text_norm"]["bias"]).astype(self.dtype)
+        value = (tn @ ca["value"]["kernel"].astype(self.dtype)
+                 + ca["value"]["bias"].astype(self.dtype))
+        semb = nn.silu(emb)
+        ca_ss = (semb @ ca["proj_out"]["emb_layers_1"]["kernel"].astype(
+            self.dtype) + ca["proj_out"]["emb_layers_1"]["bias"].astype(
+            self.dtype))
+        ca_scale, ca_shift = jnp.split(ca_ss, 2, axis=-1)
+        f_ss = (semb @ ffn["proj_out"]["emb_layers_1"]["kernel"].astype(
+            self.dtype) + ffn["proj_out"]["emb_layers_1"]["bias"].astype(
+            self.dtype))
+        ffn_scale, ffn_shift = jnp.split(f_ss, 2, axis=-1)
+
+        extra = jnp.concatenate([xf, emb[:, None, :]], axis=1)  # [B, 2, D]
+        if latent_valid is not None:
+            kvalid = latent_valid.reshape(B * T, 1).astype(jnp.float32)
+        else:
+            kvalid = jnp.ones((B * T, 1), jnp.float32)
+        out = fused_md_layer(
+            x.reshape(B * T, D).astype(self.dtype),
+            extra.reshape(B * 2, D).astype(self.dtype),
+            kvalid, value, ca_scale, ca_shift, ffn_scale, ffn_shift,
+            sa, ca["proj_out"], ffn,
+            T=T, E=2, H=self.num_heads)
+        return out.reshape(B, T, D)
+
     def __call__(
         self,
         x: jax.Array,             # [B, T, D]
@@ -239,6 +290,11 @@ class MDTransformerLayer(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         B, T, _ = x.shape
+        if (deterministic and not self.is_initializing()
+                and xf.shape[1] == 1 and self.d_model % 128 == 0
+                and self.ffn_dim % 128 == 0
+                and jax.default_backend() == "tpu"):
+            return self._fused(x, xf, emb, latent_valid)
         # self-attention over [latents; text; time] with 2 always-valid
         # extras (reference hardcodes ff=1024 + relu for this inner block,
         # mdiff_transformer.py:287-288).  The text/time rows' outputs are
@@ -253,17 +309,10 @@ class MDTransformerLayer(nn.Module):
             valid = jnp.concatenate([latent_valid, extra_v], axis=1)
         else:
             valid = None
-        sa = TransformerEncoderLayer(
-            self.d_model, self.num_heads, 1024, self.dropout, "relu", False,
-            dtype=self.dtype, name="sa_block")
-        x = sa(tokens, valid, deterministic=deterministic)[:, :T]
-        x = LinearTemporalCrossAttention(
-            self.d_model, self.text_latent_dim, self.num_heads, self.dropout,
-            dtype=self.dtype, name="ca_block")(
-                x, xf, emb, latent_valid, deterministic=deterministic)
-        x = StylizedFFN(self.d_model, self.ffn_dim, self.dropout,
-                        dtype=self.dtype, name="ffn")(
-                            x, emb, deterministic=deterministic)
+        x = self.sa_block(tokens, valid, deterministic=deterministic)[:, :T]
+        x = self.ca_block(x, xf, emb, latent_valid,
+                          deterministic=deterministic)
+        x = self.ffn(x, emb, deterministic=deterministic)
         return x
 
 

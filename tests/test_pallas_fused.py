@@ -192,3 +192,54 @@ def test_n1_collapse_matches_general_einsum():
         x + (h @ pp["proj_out"]["out_layers_2"]["kernel"]
              + pp["proj_out"]["out_layers_2"]["bias"]))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fused_md_layer_matches_module(monkeypatch):
+    """The whole-layer pallas kernel must equal MDTransformerLayer's XLA
+    path (interpret mode; backend gate monkeypatched to route fused)."""
+    from ladiff_tpu.ops.stylization import MDTransformerLayer
+
+    B, T, D, H = 4, 9, 256, 4
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32) * 0.5)
+    xf = jnp.asarray(rng.randn(B, 1, D).astype(np.float32))
+    emb = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    valid = jnp.asarray(
+        np.arange(T)[None, :] < np.array([[3], [9], [5], [1]]))
+
+    layer = MDTransformerLayer(D, D, 1024, H, dropout=0.0)
+    params = layer.init(jax.random.PRNGKey(0), x, xf, emb, valid)
+    # randomize zero-init projections so every segment contributes
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.random.RandomState(a.size % 977).randn(*a.shape)
+            .astype(np.float32)) * 0.05, params)
+
+    want = np.asarray(layer.apply(params, x, xf, emb, valid))  # CPU XLA path
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = _interpreted(
+        lambda: np.asarray(layer.apply(params, x, xf, emb, valid)))
+    assert not np.allclose(got, x), "fused path returned input unchanged"
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_fused_md_layer_no_mask(monkeypatch):
+    from ladiff_tpu.ops.stylization import MDTransformerLayer
+
+    B, T, D, H = 2, 9, 256, 4
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32) * 0.5)
+    xf = jnp.asarray(rng.randn(B, 1, D).astype(np.float32))
+    emb = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    layer = MDTransformerLayer(D, D, 1024, H, dropout=0.0)
+    params = layer.init(jax.random.PRNGKey(1), x, xf, emb, None)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.random.RandomState(a.size % 991).randn(*a.shape)
+            .astype(np.float32)) * 0.05, params)
+    want = np.asarray(layer.apply(params, x, xf, emb, None))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = _interpreted(
+        lambda: np.asarray(layer.apply(params, x, xf, emb, None)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
