@@ -1,0 +1,252 @@
+"""Fully-fused transformer DECODER layer (the VAE decode hot path).
+
+One pallas_call per decoder layer: self-attention over the 196 frame
+queries, post-norm LN, cross-attention into the <=MAX_IT latent memory,
+and the LN-FFN-LN tail — all with activations resident in VMEM, blocked
+over samples.  Decode was measured at its HBM roofline (~21 ms/batch-256)
+with ~5x compute headroom; fusing removes the per-op HBM round trips.
+
+Attention layout trick: per-head q/k live in 128-lane-aligned slots
+(head h occupies lanes [h*128, h*128+Dh) of a [*, H*128] tensor, upper
+lanes zero) — the per-head score GEMMs then slice at legal 128-lane
+boundaries with a K=128 contraction instead of masked full-D GEMMs
+(half the MXU passes of the lane-mask trick in pallas_md_layer).  The
+projection weights are remapped to this layout outside the kernel
+(zero-filled columns; exact same math).
+
+Equivalent to TransformerDecoderLayer's post-norm XLA path (reference
+cross_attention.py:332-450); verified in tests/test_pallas_fused.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_decoder_layer", "pad_head_columns"]
+
+_NEG_INF = -1e9
+
+
+def pad_head_columns(w: jax.Array, H: int, Dh: int) -> jax.Array:
+    """[..., H*Dh] -> [..., H*128] with head h in lanes [h*128, h*128+Dh)."""
+    parts = []
+    pad_shape = w.shape[:-1] + (128 - Dh,)
+    zeros = jnp.zeros(pad_shape, w.dtype)
+    for h in range(H):
+        parts.append(w[..., h * Dh:(h + 1) * Dh])
+        parts.append(zeros)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _ln(x, scale, bias):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+
+def _erf(x):
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _heads_attention(q_pad, k_pad, v, bias, H, Dh, dtype):
+    """Per-head attention with 128-lane-aligned head slots.
+    q_pad [M, H*128], k_pad [K, H*128], v [K, D]; returns ctx [M, D] f32."""
+    M = q_pad.shape[0]
+    D = v.shape[-1]
+    scale = 1.0 / (Dh ** 0.5)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1) // Dh
+    ctx = jnp.zeros((M, D), jnp.float32)
+    for h in range(H):
+        qh = q_pad[:, h * 128:(h + 1) * 128]
+        kh = k_pad[:, h * 128:(h + 1) * 128]
+        s = _dot_t(qh, kh) * scale + bias
+        w = jax.nn.softmax(s, axis=-1).astype(dtype)
+        hm = (lane == h).astype(jnp.float32)
+        ctx = ctx + _dot(w, v) * hm
+    return ctx
+
+
+def _kernel(x_ref, kvalid_ref, mem_ref, mvalid_ref,
+            sa_wqk_ref, sa_bqk_ref, sa_wv_ref, sa_bv_ref,
+            sa_wout_ref, sa_bout_ref, ln1s_ref, ln1b_ref,
+            ca_wq_ref, ca_bq_ref, ca_wk_ref, ca_bk_ref,
+            ca_wv_ref, ca_bv_ref, ca_wout_ref, ca_bout_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref,
+            ln2s_ref, ln2b_ref, ln3s_ref, ln3b_ref,
+            out_ref, *, T: int, L: int, H: int, activation: str):
+    M = x_ref.shape[0]
+    Bb = M // T
+    ML = Bb * L
+    D = sa_wv_ref.shape[0]
+    Dh = D // H
+    dtype = x_ref.dtype
+
+    x = x_ref[...]
+
+    # --- self-attention over the frame queries -------------------------
+    qk = _dot(x, sa_wqk_ref[...]) + sa_bqk_ref[...].astype(jnp.float32)
+    q_pad = qk[:, :H * 128].astype(dtype)
+    k_pad = qk[:, H * 128:].astype(dtype)
+    v = (_dot(x, sa_wv_ref[...])
+         + sa_bv_ref[...].astype(jnp.float32)).astype(dtype)
+
+    rq = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) // T
+    same = rq == rq.reshape(1, M)
+    kval = kvalid_ref[...].astype(jnp.float32).reshape(1, M)
+    bias = jnp.where(same & (kval > 0.5), 0.0, _NEG_INF)
+    ctx = _heads_attention(q_pad, k_pad, v, bias, H, Dh, dtype)
+    attn = _dot(ctx.astype(dtype), sa_wout_ref[...]) \
+        + sa_bout_ref[...].astype(jnp.float32)
+    t1 = _ln(x.astype(jnp.float32) + attn,
+             ln1s_ref[...].astype(jnp.float32),
+             ln1b_ref[...].astype(jnp.float32))
+
+    # --- cross-attention into the latent memory ------------------------
+    mem = mem_ref[...]
+    q2 = (_dot(t1.astype(dtype), ca_wq_ref[...])
+          + ca_bq_ref[...].astype(jnp.float32)).astype(dtype)
+    k2 = (_dot(mem, ca_wk_ref[...])
+          + ca_bk_ref[...].astype(jnp.float32)).astype(dtype)
+    v2 = (_dot(mem, ca_wv_ref[...])
+          + ca_bv_ref[...].astype(jnp.float32)).astype(dtype)
+    rm = jax.lax.broadcasted_iota(jnp.int32, (ML, 1), 0) // L
+    same2 = rq == rm.reshape(1, ML)
+    mval = mvalid_ref[...].astype(jnp.float32).reshape(1, ML)
+    bias2 = jnp.where(same2 & (mval > 0.5), 0.0, _NEG_INF)
+    ctx2 = _heads_attention(q2, k2, v2, bias2, H, Dh, dtype)
+    x2 = _dot(ctx2.astype(dtype), ca_wout_ref[...]) \
+        + ca_bout_ref[...].astype(jnp.float32)
+
+    # --- post-norm FFN tail ---------------------------------------------
+    h = _ln(t1 + x2, ln2s_ref[...].astype(jnp.float32),
+            ln2b_ref[...].astype(jnp.float32))
+    y = _dot(h.astype(dtype), w1_ref[...]) + b1_ref[...].astype(jnp.float32)
+    if activation == "relu":
+        y = jnp.maximum(y, 0.0)
+    else:
+        y = 0.5 * y * (1.0 + _erf(y * 0.7071067811865476))
+    y = _dot(y.astype(dtype), w2_ref[...]) + b2_ref[...].astype(jnp.float32)
+    out = _ln(h + y, ln3s_ref[...].astype(jnp.float32),
+              ln3b_ref[...].astype(jnp.float32))
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "L", "H", "activation",
+                                             "block_samples"))
+def fused_decoder_layer(
+    x: jax.Array,        # [B*T, D] frame-query rows
+    kvalid: jax.Array,   # [B*T, 1] f32 frame-key validity
+    mem: jax.Array,      # [B, L, D] latent memory
+    mvalid: jax.Array,   # [B, L] f32 memory-key validity
+    params: dict,        # TransformerDecoderLayer param tree
+    *, T: int, L: int, H: int, activation: str = "gelu",
+    block_samples: int = 2,
+) -> jax.Array:
+    BT, D = x.shape
+    B = BT // T
+    Dh = D // H
+    F = params["linear1"]["kernel"].shape[1]
+    # Mosaic requires block sublane counts divisible by 8: pad the latent
+    # rows per sample to an 8-multiple (validity 0 -> masked out exactly)
+    # and grow the sample block until the frame rows are 8-aligned too.
+    Lp = -(-L // 8) * 8
+    if Lp != L:
+        mem = jnp.pad(mem, ((0, 0), (0, Lp - L), (0, 0)))
+        mvalid = jnp.pad(mvalid, ((0, 0), (0, Lp - L)))
+    L = Lp
+    mem = mem.reshape(B * L, D)
+    mvalid = mvalid.reshape(B * L, 1)
+    Bb = max(1, min(block_samples, B))
+    while (Bb * T) % 8 != 0:  # terminates: 8*T is always 8-aligned
+        Bb *= 2
+    # pad the batch to a whole number of blocks: attention kernels must
+    # never read out-of-bounds KEY rows (garbage keys would poison valid
+    # queries through the score GEMM — NaN ignores the additive mask)
+    Bp = -(-B // Bb) * Bb
+    if Bp != B:
+        pad = Bp - B
+        x = jnp.pad(x, ((0, pad * T), (0, 0)))
+        kvalid = jnp.pad(kvalid, ((0, pad * T), (0, 0)))
+        mem = jnp.pad(mem, ((0, pad * L), (0, 0)))
+        mvalid = jnp.pad(mvalid, ((0, pad * L), (0, 0)))
+    grid = (Bp // Bb,)
+    dtype = x.dtype
+    c = lambda a: a.astype(dtype)
+    vec = lambda a: a.reshape(1, -1)
+
+    sa = params["self_attn"]
+    ca = params["multihead_attn"]
+    # remap q/k projections into 128-lane head slots (exact zero-pad)
+    sa_wq = pad_head_columns(c(sa["in_proj_kernel"][:, :D]), H, Dh)
+    sa_wk = pad_head_columns(c(sa["in_proj_kernel"][:, D:2 * D]), H, Dh)
+    sa_wqk = jnp.concatenate([sa_wq, sa_wk], axis=1)       # [D, 2*H*128]
+    sa_bq = pad_head_columns(c(sa["in_proj_bias"][:D]), H, Dh)
+    sa_bk = pad_head_columns(c(sa["in_proj_bias"][D:2 * D]), H, Dh)
+    sa_bqk = jnp.concatenate([sa_bq, sa_bk], axis=-1)
+    ca_wq = pad_head_columns(c(ca["in_proj_kernel"][:, :D]), H, Dh)
+    ca_bq = pad_head_columns(c(ca["in_proj_bias"][:D]), H, Dh)
+    ca_wk = pad_head_columns(c(ca["in_proj_kernel"][:, D:2 * D]), H, Dh)
+    ca_bk = pad_head_columns(c(ca["in_proj_bias"][D:2 * D]), H, Dh)
+
+    HP = H * 128
+    rows = lambda i: (i, 0)
+    rep = lambda i: (0, 0)
+    frame = pl.BlockSpec((Bb * T, D), rows, memory_space=pltpu.VMEM)
+    latm = pl.BlockSpec((Bb * L, D), rows, memory_space=pltpu.VMEM)
+
+    def w(shape):
+        return pl.BlockSpec(shape, rep, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel, T=T, L=L, H=H, activation=activation)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            frame,
+            pl.BlockSpec((Bb * T, 1), rows, memory_space=pltpu.VMEM),
+            latm,
+            pl.BlockSpec((Bb * L, 1), rows, memory_space=pltpu.VMEM),
+            w((D, 2 * HP)), w((1, 2 * HP)),       # sa q/k (padded heads)
+            w((D, D)), w((1, D)),                 # sa v
+            w((D, D)), w((1, D)), w((1, D)), w((1, D)),  # sa out + ln1
+            w((D, HP)), w((1, HP)), w((D, HP)), w((1, HP)),  # ca q/k
+            w((D, D)), w((1, D)), w((D, D)), w((1, D)),      # ca v/out
+            w((D, F)), w((1, F)), w((F, D)), w((1, D)),      # ffn
+            w((1, D)), w((1, D)), w((1, D)), w((1, D)),      # ln2/ln3
+        ],
+        out_specs=frame,
+        out_shape=jax.ShapeDtypeStruct((Bp * T, D), dtype),
+    )(
+        x, kvalid.astype(jnp.float32), mem.astype(dtype),
+        mvalid.astype(jnp.float32),
+        sa_wqk, vec(sa_bqk),
+        c(sa["in_proj_kernel"][:, 2 * D:]), vec(c(sa["in_proj_bias"][2 * D:])),
+        c(sa["out_proj"]["kernel"]), vec(c(sa["out_proj"]["bias"])),
+        vec(params["norm1"]["scale"]), vec(params["norm1"]["bias"]),
+        ca_wq, vec(ca_bq), ca_wk, vec(ca_bk),
+        c(ca["in_proj_kernel"][:, 2 * D:]), vec(c(ca["in_proj_bias"][2 * D:])),
+        c(ca["out_proj"]["kernel"]), vec(c(ca["out_proj"]["bias"])),
+        c(params["linear1"]["kernel"]), vec(c(params["linear1"]["bias"])),
+        c(params["linear2"]["kernel"]), vec(c(params["linear2"]["bias"])),
+        vec(params["norm2"]["scale"]), vec(params["norm2"]["bias"]),
+        vec(params["norm3"]["scale"]), vec(params["norm3"]["bias"]),
+    )
+    return out[:BT]

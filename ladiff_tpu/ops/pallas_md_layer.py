@@ -185,8 +185,22 @@ def fused_md_layer(
     B = BT // T
     F1 = sa["linear1"]["kernel"].shape[1]
     F2 = ffn["linear1"]["kernel"].shape[1]
-    Bb = min(block_samples, B)
-    grid = (pl.cdiv(B, Bb),)
+    Bb = max(1, min(block_samples, B))
+    while (Bb * T) % 8 != 0 or (Bb * E) % 8 != 0:
+        Bb *= 2  # terminates: 8*T and 8*E are always 8-aligned
+    # pad the batch to a whole number of blocks: garbage out-of-bounds KEY
+    # rows would poison valid queries through the score GEMM (NaN ignores
+    # the additive mask)
+    Bp = -(-B // Bb) * Bb
+    if Bp != B:
+        pad = Bp - B
+        x = jnp.pad(x, ((0, pad * T), (0, 0)))
+        extra = jnp.pad(extra, ((0, pad * E), (0, 0)))
+        kvalid = jnp.pad(kvalid, ((0, pad * T), (0, 0)))
+        zpad = lambda a: jnp.pad(a, ((0, pad), (0, 0)))
+        value, ca_scale, ca_shift = map(zpad, (value, ca_scale, ca_shift))
+        ffn_scale, ffn_shift = map(zpad, (ffn_scale, ffn_shift))
+    grid = (Bp // Bb,)
     dtype = x.dtype
 
     def rows_T(i):
@@ -206,7 +220,7 @@ def fused_md_layer(
     c = lambda a: a.astype(dtype)
     vec = lambda a: a.reshape(1, -1)
     kernel = functools.partial(_kernel, T=T, E=E, H=H)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -226,7 +240,7 @@ def fused_md_layer(
             w((D, D)), vecD,                      # ffn proj
         ],
         out_specs=lat,
-        out_shape=jax.ShapeDtypeStruct((BT, D), dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp * T, D), dtype),
     )(
         x, extra.astype(dtype), kvalid.astype(jnp.float32),
         c(value), c(ca_scale), c(ca_shift), c(ffn_scale), c(ffn_shift),
@@ -248,3 +262,4 @@ def fused_md_layer(
         c(ffn["proj_out"]["out_layers_2"]["kernel"]),
         vec(c(ffn["proj_out"]["out_layers_2"]["bias"])),
     )
+    return out[:BT]

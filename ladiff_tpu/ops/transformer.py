@@ -185,6 +185,42 @@ class TransformerDecoderLayer(nn.Module):
         deterministic: bool = True,
         return_cross_weights: bool = False,
     ):
+        if (deterministic and not self.normalize_before
+                and not self.is_initializing()
+                and not return_cross_weights
+                and pos is None and query_pos is None
+                and self.d_model % 128 == 0 and self.ff_size % 128 == 0
+                and self.activation in ("relu", "gelu")
+                and jax.default_backend() == "tpu"):
+            # whole layer (self-attn + cross-attn + FFN) as ONE pallas
+            # kernel — the VAE decode hot path
+            from ladiff_tpu.ops.pallas_decoder_layer import \
+                fused_decoder_layer
+            B, T, D = tgt.shape
+            L = memory.shape[1]
+            kv = (tgt_key_valid if tgt_key_valid is not None
+                  else jnp.ones((B, T), bool))
+            mv = (memory_key_valid if memory_key_valid is not None
+                  else jnp.ones((B, L), bool))
+            params = {
+                "self_attn": self.self_attn.variables["params"],
+                "multihead_attn": self.multihead_attn.variables["params"],
+                "linear1": {"kernel": self.linear1.kernel,
+                            "bias": self.linear1.bias},
+                "linear2": {"kernel": self.linear2.kernel,
+                            "bias": self.linear2.bias},
+                "norm1": {"scale": self.norm1.scale, "bias": self.norm1.bias},
+                "norm2": {"scale": self.norm2.scale, "bias": self.norm2.bias},
+                "norm3": {"scale": self.norm3.scale, "bias": self.norm3.bias},
+            }
+            out = fused_decoder_layer(
+                tgt.reshape(B * T, D).astype(self.dtype),
+                kv.reshape(B * T, 1).astype(jnp.float32),
+                memory.astype(self.dtype),
+                mv.astype(jnp.float32),
+                params, T=T, L=L, H=self.num_heads,
+                activation=self.activation)
+            return out.reshape(B, T, D)
         self_attn = self.self_attn
         cross_attn = self.multihead_attn
         linear1, linear2 = self.linear1, self.linear2

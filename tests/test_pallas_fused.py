@@ -243,3 +243,51 @@ def test_fused_md_layer_no_mask(monkeypatch):
     got = _interpreted(
         lambda: np.asarray(layer.apply(params, x, xf, emb, None)))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_fused_decoder_layer_matches_module(monkeypatch):
+    """The whole decoder-layer kernel (self-attn + cross-attn + FFN) must
+    equal TransformerDecoderLayer's post-norm XLA path."""
+    from ladiff_tpu.ops.transformer import TransformerDecoderLayer
+
+    B, T, L, D, H = 3, 20, 5, 256, 4
+    rng = np.random.RandomState(7)
+    tgt = jnp.asarray(rng.randn(B, T, D).astype(np.float32) * 0.5)
+    mem = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+    tv = jnp.asarray(np.arange(T)[None, :] < np.array([[12], [20], [7]]))
+    mv = jnp.asarray(np.arange(L)[None, :] < np.array([[2], [5], [1]]))
+
+    layer = TransformerDecoderLayer(D, H, 1024, dropout=0.0,
+                                    activation="gelu")
+    params = layer.init(jax.random.PRNGKey(0), tgt, mem, tv, mv)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.random.RandomState(a.size % 983).randn(*a.shape)
+            .astype(np.float32)) * 0.05, params)
+
+    want = np.asarray(layer.apply(params, tgt, mem, tv, mv))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = _interpreted(
+        lambda: np.asarray(layer.apply(params, tgt, mem, tv, mv)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_fused_decoder_layer_no_masks(monkeypatch):
+    from ladiff_tpu.ops.transformer import TransformerDecoderLayer
+
+    B, T, L, D, H = 2, 12, 7, 256, 4
+    rng = np.random.RandomState(8)
+    tgt = jnp.asarray(rng.randn(B, T, D).astype(np.float32) * 0.5)
+    mem = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+    layer = TransformerDecoderLayer(D, H, 1024, dropout=0.0,
+                                    activation="relu")
+    params = layer.init(jax.random.PRNGKey(1), tgt, mem)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.random.RandomState(a.size % 971).randn(*a.shape)
+            .astype(np.float32)) * 0.05, params)
+    want = np.asarray(layer.apply(params, tgt, mem))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = _interpreted(lambda: np.asarray(layer.apply(params, tgt, mem)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
