@@ -40,6 +40,16 @@ SMPLH_PARENTS = np.concatenate([
              np.int32),
 ])
 
+# SMPLX: SMPLH's 22 body joints + jaw/left_eye/right_eye (children of the
+# head, 15) + the same two 15-joint hands shifted by the 3 face joints —
+# 55 LBS joints
+_smplh_hands = SMPLH_PARENTS[22:]
+SMPLX_PARENTS = np.concatenate([
+    SMPL_PARENTS[:22],
+    np.array([15, 15, 15], np.int32),           # jaw, leye, reye
+    np.where(_smplh_hands >= 22, _smplh_hands + 3, _smplh_hands),
+]).astype(np.int32)
+
 
 @dataclasses.dataclass
 class SMPLModel:
@@ -98,7 +108,8 @@ class SMPLModel:
     def synthetic(cls, n_verts: int = 128, seed: int = 0,
                   model_type: str = "smpl") -> "SMPLModel":
         rng = np.random.RandomState(seed)
-        parents = SMPL_PARENTS if model_type == "smpl" else SMPLH_PARENTS
+        parents = {"smpl": SMPL_PARENTS, "smplh": SMPLH_PARENTS,
+                   "smplx": SMPLX_PARENTS}[model_type]
         J = len(parents)
         v = rng.randn(n_verts, 3).astype(np.float32) * 0.3
         reg = rng.rand(J, n_verts).astype(np.float32)
@@ -115,7 +126,7 @@ class SMPLModel:
             weights=jnp.asarray(w),
             parents=parents,
             hands_mean=(np.zeros((30, 3), np.float32)
-                        if model_type == "smplh" else None),
+                        if model_type in ("smplh", "smplx") else None),
         )
 
     # ------------------------------------------------------------------

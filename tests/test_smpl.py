@@ -66,3 +66,26 @@ def test_fitting_recovers_joints():
         jnp.asarray(params["pose"]), jnp.asarray(params["betas"]),
         jnp.asarray(params["trans"])))
     assert np.abs(fitted - target).mean() < 0.05
+
+
+def test_smplh_and_smplx_synthetic_forward():
+    """SMPLH (52j) and SMPLX (55j) kinematic trees drive the generic LBS."""
+    import jax.numpy as jnp
+
+    from ladiff_tpu.smpl.body_model import (SMPLH_PARENTS, SMPLX_PARENTS,
+                                            SMPLModel)
+
+    assert len(SMPLH_PARENTS) == 52 and len(SMPLX_PARENTS) == 55
+    # SMPLX: jaw/eyes hang off the head (15); wrists parent the hands
+    assert list(SMPLX_PARENTS[22:25]) == [15, 15, 15]
+    assert SMPLX_PARENTS[25] == 20 and SMPLX_PARENTS[40] == 21
+    rng = np.random.RandomState(0)
+    for mt, J in (("smplh", 52), ("smplx", 55)):
+        model = SMPLModel.synthetic(model_type=mt)
+        pose = jnp.asarray(rng.randn(3, J, 3).astype(np.float32) * 0.1)
+        joints, verts = model.forward(pose, jnp.zeros(10),
+                                      jnp.zeros((3, 3)),
+                                      return_vertices=True)
+        assert joints.shape == (3, J, 3)
+        assert verts.shape[0] == 3
+        assert np.isfinite(np.asarray(joints)).all()
