@@ -17,10 +17,12 @@ end-to-end and the per-sample AdaLN scale/shift/value tensors stay [B, D]
 
 Attention trick: with T=9 latent + E=2 extra tokens per sample, a block of
 ``Bb`` samples is flattened to [Bb*T, D] rows and attention uses a
-block-diagonal same-sample bias.  Per-head scores are computed as full
-[rows, keys] GEMMs with a disjoint lane mask per head (lane_iota // Dh ==
-h): ~H x the minimal FLOPs, but these matmuls are tiny and the MXU is
-otherwise idle — while avoiding sub-128-lane slices Mosaic can't do.
+block-diagonal same-sample bias.  Per-head q/k live in 128-lane-aligned
+head slots (weights remapped by pad_head_columns), so per-head score GEMMs
+slice at legal lane boundaries with a K=128 contraction — Mosaic can't do
+sub-128-lane slices, and a lane-masked full-D product would double the MXU
+passes.  The context accumulation still uses a disjoint per-head lane mask
+on the output columns.
 
 Exactly equivalent to MDTransformerLayer's XLA path (the reference
 mdiff_transformer.py:265-321 semantics); verified in
@@ -83,24 +85,26 @@ def _kernel(x_ref, extra_ref, kvalid_ref, value_ref,
     Bb = value_ref.shape[0]
     M = Bb * T           # latent rows in this block
     KE = Bb * E          # extra rows
-    D = x_ref.shape[-1]
+    D = wout_ref.shape[0]
     Dh = D // H
+    HP = H * 128
     dtype = x_ref.dtype
 
     x = x_ref[...]
 
     # --- self-attention over [latents ; extras] -------------------------
+    # wqkv is pre-remapped to [D, 2*H*128 + D]: q/k in 128-lane head slots
+    # (see pad_head_columns), v in the trailing D lanes
     qkv = _dot(x, wqkv_ref[...]) + bqkv_ref[...].astype(jnp.float32)
-    q = qkv[:, :D]
-    kx = qkv[:, D:2 * D]
-    vx = qkv[:, 2 * D:]
-    # full-width GEMM + bias for the extra rows, columns sliced AFTER the
-    # add — slicing the bias vector before a broadcast trips Mosaic's
-    # layout checks at small row counts
+    q_pad = qkv[:, :HP].astype(dtype)
+    kx = qkv[:, HP:2 * HP]
+    vx = qkv[:, 2 * HP:]
     qkv_e = _dot(extra_ref[...], wqkv_ref[...]) \
         + bqkv_ref[...].astype(jnp.float32)
-    k = jnp.concatenate([kx, qkv_e[:, D:2 * D]], axis=0)  # [M+KE, D]
-    v = jnp.concatenate([vx, qkv_e[:, 2 * D:]], axis=0)
+    k_pad = jnp.concatenate([kx, qkv_e[:, HP:2 * HP]],
+                            axis=0).astype(dtype)          # [M+KE, HP]
+    v = jnp.concatenate([vx, qkv_e[:, 2 * HP:]],
+                        axis=0).astype(dtype)              # [M+KE, D]
 
     # block-diagonal same-sample bias + latent-row key validity
     rq = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) // T
@@ -117,15 +121,14 @@ def _kernel(x_ref, extra_ref, kvalid_ref, value_ref,
 
     scale = 1.0 / (Dh ** 0.5)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1) // Dh
-    qf = q.astype(dtype)
-    kf = k.astype(dtype)
-    vf = v.astype(dtype)
     ctx = jnp.zeros((M, D), jnp.float32)
     for h in range(H):
-        hm = (lane == h).astype(dtype)
-        s = _dot_t(qf * hm, kf) * scale + bias           # [M, M+KE] f32
+        qh = q_pad[:, h * 128:(h + 1) * 128]
+        kh = k_pad[:, h * 128:(h + 1) * 128]
+        s = _dot_t(qh, kh) * scale + bias                # [M, M+KE] f32
         w = jax.nn.softmax(s, axis=-1).astype(dtype)
-        ctx = ctx + _dot(w, vf) * hm.astype(jnp.float32)
+        hm = (lane == h).astype(jnp.float32)
+        ctx = ctx + _dot(w, v) * hm
 
     attn = _dot(ctx.astype(dtype), wout_ref[...]) \
         + bout_ref[...].astype(jnp.float32)
@@ -219,6 +222,24 @@ def fused_md_layer(
 
     c = lambda a: a.astype(dtype)
     vec = lambda a: a.reshape(1, -1)
+    # remap q/k projections into 128-lane head slots (exact zero-pad): the
+    # per-head score GEMMs then contract over K=128 instead of a lane-
+    # masked full-D product (half the MXU passes)
+    from ladiff_tpu.ops.pallas_decoder_layer import pad_head_columns
+    Dh = D // H
+    ipk = c(sa["self_attn"]["in_proj_kernel"])
+    ipb = c(sa["self_attn"]["in_proj_bias"])
+    wqkv_pad = jnp.concatenate([
+        pad_head_columns(ipk[:, :D], H, Dh),
+        pad_head_columns(ipk[:, D:2 * D], H, Dh),
+        ipk[:, 2 * D:],
+    ], axis=1)
+    bqkv_pad = jnp.concatenate([
+        pad_head_columns(ipb[:D], H, Dh),
+        pad_head_columns(ipb[D:2 * D], H, Dh),
+        ipb[2 * D:],
+    ], axis=-1)
+    HPW = 2 * H * 128 + D
     kernel = functools.partial(_kernel, T=T, E=E, H=H)
     out = pl.pallas_call(
         kernel,
@@ -228,7 +249,7 @@ def fused_md_layer(
             ext,                                  # extra
             pl.BlockSpec((Bb * T, 1), rows_T, memory_space=pltpu.VMEM),
             per_s, per_s, per_s, per_s, per_s,    # value, scales/shifts
-            w((D, 3 * D)), w((1, 3 * D)),         # qkv
+            w((D, HPW)), w((1, HPW)),             # qkv (padded heads)
             w((D, D)), vecD,                      # out proj
             vecD, vecD,                           # ln1
             w((D, F1)), w((1, F1)), w((F1, D)), vecD,  # sa ffn
@@ -244,8 +265,7 @@ def fused_md_layer(
     )(
         x, extra.astype(dtype), kvalid.astype(jnp.float32),
         c(value), c(ca_scale), c(ca_shift), c(ffn_scale), c(ffn_shift),
-        c(sa["self_attn"]["in_proj_kernel"]),
-        vec(c(sa["self_attn"]["in_proj_bias"])),
+        wqkv_pad, vec(bqkv_pad),
         c(sa["self_attn"]["out_proj"]["kernel"]),
         vec(c(sa["self_attn"]["out_proj"]["bias"])),
         vec(sa["norm1"]["scale"]), vec(sa["norm1"]["bias"]),
