@@ -154,6 +154,17 @@ class LADenoiser(nn.Module):
             return text
         return self.emb_proj(nn.relu(text))
 
+    def precompute_md_prep(self, text_emb_latent: jax.Array,
+                           time_table: jax.Array):
+        """Step-invariant prep for the fused MD sampling path: per-layer ca
+        text values [B, D] + AdaLN scale/shift rows for every DDIM step
+        [S, 2D] (see MDSkipTransformerEncoder.precompute_prep).  Only valid
+        for the md_trans wiring."""
+        assert self.md_trans
+        return self.encoder.precompute_prep(
+            text_emb_latent.astype(self.dtype),
+            time_table.astype(self.dtype))
+
     def embed_action(self, action_ids: jax.Array,
                      force_mask: bool = False) -> jax.Array:
         """[B] class ids -> [B, 1, D] conditioning tokens; force_mask gives
@@ -172,6 +183,7 @@ class LADenoiser(nn.Module):
         time_emb: Optional[jax.Array] = None,          # [B, D] precomputed
         text_emb_latent: Optional[jax.Array] = None,   # [B, N, D] precomputed
         enclat_valid: Optional[jax.Array] = None,      # [B, n_cond] bool
+        md_prep=None,   # per-step slice of precompute_md_prep (sampling)
     ) -> jax.Array:
         B, n_lat, _ = sample.shape
         sample = sample.astype(self.dtype)
@@ -213,7 +225,8 @@ class LADenoiser(nn.Module):
         if self.md_trans:
             xseq = self.query_pos(stream)
             tokens = self.encoder(xseq, text_emb_latent, time_emb,
-                                  stream_valid, deterministic=deterministic)
+                                  stream_valid, deterministic=deterministic,
+                                  prep=md_prep)
             out = tokens[:, :n_lat]
         else:
             # plain concat path: [latents(+enclat); time; text] tokens, no

@@ -362,22 +362,43 @@ class LADiffSystem:
             {"params": den_params}, jnp.asarray(ts_np),
             method=denoiser.compute_time_embedding)  # [steps, D]
 
-        def denoise(latents, t, text, valid, time_row):
+        # hoist the fused MD path's per-layer prep out of the scan as well:
+        # per-layer ca text values (step-invariant) + AdaLN scale/shift rows
+        # for every step (all samples share a step's time embedding)
+        md_values = md_tables = None
+        if getattr(denoiser, "md_trans", False) and text_cond_l.shape[1] == 1:
+            text_for_batch = (jnp.concatenate([text_uncond_l, text_cond_l], 0)
+                              if self.guidance_scale > 1.0 else text_cond_l)
+            prep_all = denoiser.apply(
+                {"params": den_params}, text_for_batch, time_table,
+                method=denoiser.precompute_md_prep)
+            md_values = {k: v["value"] for k, v in prep_all.items()}
+            md_tables = {k: {"ca_ss": v["ca_ss"], "ffn_ss": v["ffn_ss"]}
+                         for k, v in prep_all.items()}
+
+        def denoise(latents, t, text, valid, aux):
+            time_row, md_rows = aux
             time_emb = jnp.broadcast_to(time_row[None, :],
                                         (latents.shape[0], time_row.shape[0]))
             fv = frame_valid
             if fv is not None and latents.shape[0] != fv.shape[0]:
                 fv = jnp.concatenate([fv, fv], axis=0)  # CFG doubling
+            md_prep = None
+            if md_rows is not None:
+                md_prep = {k: {"value": md_values[k], **md_rows[k]}
+                           for k in md_rows}
             return denoiser.apply(
                 {"params": den_params}, latents, None, None, valid,
                 frame_valid=fv,
-                deterministic=True, time_emb=time_emb, text_emb_latent=text)
+                deterministic=True, time_emb=time_emb, text_emb_latent=text,
+                md_prep=md_prep)
 
         guided = make_cfg_denoise_fn(denoise, text_uncond_l, text_cond_l,
                                      self.guidance_scale)
         return ddim_sample(
             guided, self.schedule, rng, (B, n_lat, D), steps,
-            latent_valid=lat_valid, eta=self.eta, step_aux=time_table,
+            latent_valid=lat_valid, eta=self.eta,
+            step_aux=(time_table, md_tables),
             return_trajectory=return_trajectory)
 
     def diffusion_reverse_ar(self, den_params, text_emb_cond: jax.Array,

@@ -178,8 +178,8 @@ def fused_md_layer(
     extra: jax.Array,      # [B*E, D] text+time rows (k/v only)
     kvalid: jax.Array,     # [B*T, 1] f32 latent-row validity
     value: jax.Array,      # [B, D] collapsed ca text value
-    ca_scale: jax.Array, ca_shift: jax.Array,    # [B, D]
-    ffn_scale: jax.Array, ffn_shift: jax.Array,  # [B, D]
+    ca_scale: jax.Array, ca_shift: jax.Array,    # [B, D] or [1, D]
+    ffn_scale: jax.Array, ffn_shift: jax.Array,  # [B, D] or [1, D]
     sa: dict, ca_proj: dict, ffn: dict,
     *, T: int, E: int, H: int, block_samples: int = 32,
 ) -> jax.Array:
@@ -200,7 +200,8 @@ def fused_md_layer(
         x = jnp.pad(x, ((0, pad * T), (0, 0)))
         extra = jnp.pad(extra, ((0, pad * E), (0, 0)))
         kvalid = jnp.pad(kvalid, ((0, pad * T), (0, 0)))
-        zpad = lambda a: jnp.pad(a, ((0, pad), (0, 0)))
+        zpad = lambda a: (a if a.shape[0] == 1
+                          else jnp.pad(a, ((0, pad), (0, 0))))
         value, ca_scale, ca_shift = map(zpad, (value, ca_scale, ca_shift))
         ffn_scale, ffn_shift = map(zpad, (ffn_scale, ffn_shift))
     grid = (Bp // Bb,)
@@ -216,6 +217,9 @@ def fused_md_layer(
     ext = pl.BlockSpec((Bb * E, D), rows_T, memory_space=pltpu.VMEM)
     per_s = pl.BlockSpec((Bb, D), rows_T, memory_space=pltpu.VMEM)
     vecD = pl.BlockSpec((1, D), rep, memory_space=pltpu.VMEM)
+    # scale/shift may be one shared row (sampling: all samples share the
+    # step's time embedding) -> replicated block instead of per-sample
+    ps_or_row = lambda a: vecD if a.shape[0] == 1 else per_s
 
     def w(shape):
         return pl.BlockSpec(shape, rep, memory_space=pltpu.VMEM)
@@ -248,7 +252,8 @@ def fused_md_layer(
             lat,                                  # x
             ext,                                  # extra
             pl.BlockSpec((Bb * T, 1), rows_T, memory_space=pltpu.VMEM),
-            per_s, per_s, per_s, per_s, per_s,    # value, scales/shifts
+            per_s, ps_or_row(ca_scale), ps_or_row(ca_shift),
+            ps_or_row(ffn_scale), ps_or_row(ffn_shift),
             w((D, HPW)), w((1, HPW)),             # qkv (padded heads)
             w((D, D)), vecD,                      # out proj
             vecD, vecD,                           # ln1

@@ -239,17 +239,17 @@ class MDTransformerLayer(nn.Module):
         self.ffn = StylizedFFN(self.d_model, self.ffn_dim, self.dropout,
                                dtype=self.dtype, name="ffn")
 
-    def _fused(self, x, xf, emb, latent_valid):
-        """Whole layer as ONE pallas kernel (pallas_md_layer) — inference
-        on TPU only; reads the children's params directly."""
-        from ladiff_tpu.ops.pallas_md_layer import fused_md_layer
-        B, T, D = x.shape
-        sa = self.sa_block.variables["params"]
+    def compute_prep(self, xf: jax.Array, embs: jax.Array):
+        """Step-invariant pieces of the fused path, computable ONCE before
+        a sampling scan: the collapsed ca text value (per sample) and both
+        AdaLN scale/shift tables (one row per scan step — during sampling
+        every sample shares the step's time embedding).
+
+        xf: [B, 1, D] projected text; embs: [S, D] time-embedding table.
+        Returns {"value": [B, D], "ca_ss": [S, 2D], "ffn_ss": [S, 2D]}.
+        """
         ca = self.ca_block.variables["params"]
         ffn = self.ffn.variables["params"]
-
-        # per-sample (cheap, [B, D]) pieces computed outside the kernel:
-        # collapsed ca text value, and both AdaLN scale/shift pairs
         xf0 = xf[:, 0, :].astype(jnp.float32)
         mu = xf0.mean(-1, keepdims=True)
         var = ((xf0 - mu) ** 2).mean(-1, keepdims=True)
@@ -258,26 +258,53 @@ class MDTransformerLayer(nn.Module):
               + ca["text_norm"]["bias"]).astype(self.dtype)
         value = (tn @ ca["value"]["kernel"].astype(self.dtype)
                  + ca["value"]["bias"].astype(self.dtype))
-        semb = nn.silu(emb)
-        ca_ss = (semb @ ca["proj_out"]["emb_layers_1"]["kernel"].astype(
+        sembs = nn.silu(embs.astype(self.dtype))
+        ca_ss = (sembs @ ca["proj_out"]["emb_layers_1"]["kernel"].astype(
             self.dtype) + ca["proj_out"]["emb_layers_1"]["bias"].astype(
             self.dtype))
-        ca_scale, ca_shift = jnp.split(ca_ss, 2, axis=-1)
-        f_ss = (semb @ ffn["proj_out"]["emb_layers_1"]["kernel"].astype(
+        ffn_ss = (sembs @ ffn["proj_out"]["emb_layers_1"]["kernel"].astype(
             self.dtype) + ffn["proj_out"]["emb_layers_1"]["bias"].astype(
             self.dtype))
-        ffn_scale, ffn_shift = jnp.split(f_ss, 2, axis=-1)
+        return {"value": value, "ca_ss": ca_ss, "ffn_ss": ffn_ss}
 
-        extra = jnp.concatenate([xf, emb[:, None, :]], axis=1)  # [B, 2, D]
+    def _fused(self, x, xf, emb, latent_valid, prep=None, extra_rows=None):
+        """Whole layer as ONE pallas kernel (pallas_md_layer) — inference
+        on TPU only; reads the children's params directly.
+
+        prep: optional per-step slice of compute_prep's output — "value"
+        [B, D] plus single-row "ca_ss"/"ffn_ss" [2D] (all samples share the
+        step's time embedding).  extra_rows: optional precomputed
+        [B*2, D] text+time k/v rows (shared across the layer stack).
+        """
+        from ladiff_tpu.ops.pallas_md_layer import fused_md_layer
+        B, T, D = x.shape
+        sa = self.sa_block.variables["params"]
+        ca = self.ca_block.variables["params"]
+        ffn = self.ffn.variables["params"]
+
+        if prep is not None:
+            value = prep["value"]
+            ca_scale, ca_shift = jnp.split(
+                prep["ca_ss"].reshape(1, -1), 2, axis=-1)
+            ffn_scale, ffn_shift = jnp.split(
+                prep["ffn_ss"].reshape(1, -1), 2, axis=-1)
+        else:
+            p = self.compute_prep(xf, emb)
+            value = p["value"]
+            ca_scale, ca_shift = jnp.split(p["ca_ss"], 2, axis=-1)
+            ffn_scale, ffn_shift = jnp.split(p["ffn_ss"], 2, axis=-1)
+
+        if extra_rows is None:
+            extra = jnp.concatenate([xf, emb[:, None, :]], axis=1)
+            extra_rows = extra.reshape(B * 2, D).astype(self.dtype)
         if latent_valid is not None:
             kvalid = latent_valid.reshape(B * T, 1).astype(jnp.float32)
         else:
             kvalid = jnp.ones((B * T, 1), jnp.float32)
         out = fused_md_layer(
             x.reshape(B * T, D).astype(self.dtype),
-            extra.reshape(B * 2, D).astype(self.dtype),
-            kvalid, value, ca_scale, ca_shift, ffn_scale, ffn_shift,
-            sa, ca["proj_out"], ffn,
+            extra_rows, kvalid, value, ca_scale, ca_shift,
+            ffn_scale, ffn_shift, sa, ca["proj_out"], ffn,
             T=T, E=2, H=self.num_heads)
         return out.reshape(B, T, D)
 
@@ -288,13 +315,16 @@ class MDTransformerLayer(nn.Module):
         emb: jax.Array,           # [B, D] time embedding
         latent_valid: Optional[jax.Array] = None,
         deterministic: bool = True,
+        prep=None,
+        extra_rows=None,
     ) -> jax.Array:
         B, T, _ = x.shape
         if (deterministic and not self.is_initializing()
                 and xf.shape[1] == 1 and self.d_model % 128 == 0
                 and self.ffn_dim % 128 == 0
                 and jax.default_backend() == "tpu"):
-            return self._fused(x, xf, emb, latent_valid)
+            return self._fused(x, xf, emb, latent_valid, prep=prep,
+                               extra_rows=extra_rows)
         # self-attention over [latents; text; time] with 2 always-valid
         # extras (reference hardcodes ff=1024 + relu for this inner block,
         # mdiff_transformer.py:287-288).  The text/time rows' outputs are
@@ -343,6 +373,21 @@ class MDSkipTransformerEncoder(nn.Module):
         ]
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
 
+    def _ordered_blocks(self):
+        return ([(f"input_blocks_{i}", b)
+                 for i, b in enumerate(self.input_blocks)]
+                + [("middle_block", self.middle_block)]
+                + [(f"output_blocks_{i}", b)
+                   for i, b in enumerate(self.output_blocks)])
+
+    def precompute_prep(self, xf: jax.Array, embs: jax.Array):
+        """Step-invariant fused-path prep for EVERY layer, computed once
+        before a sampling scan (see MDTransformerLayer.compute_prep).
+        Returns {layer_name: {"value": [B, D], "ca_ss"/"ffn_ss": [S, 2D]}}.
+        """
+        return {name: block.compute_prep(xf, embs)
+                for name, block in self._ordered_blocks()}
+
     def __call__(
         self,
         x: jax.Array,
@@ -350,13 +395,26 @@ class MDSkipTransformerEncoder(nn.Module):
         emb: jax.Array,
         latent_valid: Optional[jax.Array] = None,
         deterministic: bool = True,
+        prep=None,
     ) -> jax.Array:
+        """prep: optional per-step slice of precompute_prep's output
+        ({layer: {"value" [B, D], "ca_ss"/"ffn_ss" [2D]}}) — sampling-scan
+        fast path; the text/time k/v rows are also shared across layers."""
+        B = x.shape[0]
+        extra_rows = None
+        if prep is not None:
+            extra = jnp.concatenate([xf, emb[:, None, :]], axis=1)
+            extra_rows = extra.reshape(B * 2, -1).astype(self.dtype)
         xs = []
-        for block in self.input_blocks:
-            x = block(x, xf, emb, latent_valid, deterministic=deterministic)
-            xs.append(x)
-        x = self.middle_block(x, xf, emb, latent_valid, deterministic=deterministic)
-        for block, linear in zip(self.output_blocks, self.linear_blocks):
-            x = linear(jnp.concatenate([x, xs.pop()], axis=-1))
-            x = block(x, xf, emb, latent_valid, deterministic=deterministic)
+        for name, block in self._ordered_blocks():
+            p = prep[name] if prep is not None else None
+            if name.startswith("output_blocks_"):
+                i = int(name.rsplit("_", 1)[1])
+                x = self.linear_blocks[i](
+                    jnp.concatenate([x, xs.pop()], axis=-1))
+            x = block(x, xf, emb, latent_valid,
+                      deterministic=deterministic, prep=p,
+                      extra_rows=extra_rows)
+            if name.startswith("input_blocks_"):
+                xs.append(x)
         return self.norm(x)

@@ -291,3 +291,38 @@ def test_fused_decoder_layer_no_masks(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     got = _interpreted(lambda: np.asarray(layer.apply(params, tgt, mem)))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_md_encoder_prep_matches_inline(monkeypatch):
+    """precompute_prep + per-step slices must give the same output as the
+    layers computing their prep inline (both through the fused kernels)."""
+    from ladiff_tpu.ops.stylization import MDSkipTransformerEncoder
+
+    B, T, D, H, L = 3, 7, 256, 4, 3
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32) * 0.5)
+    xf = jnp.asarray(rng.randn(B, 1, D).astype(np.float32))
+    embs = jnp.asarray(rng.randn(2, D).astype(np.float32))  # 2-step table
+    emb = jnp.broadcast_to(embs[0][None], (B, D))
+    valid = jnp.asarray(np.arange(T)[None, :] < np.array([[3], [7], [1]]))
+
+    enc = MDSkipTransformerEncoder(D, D, H, L, 1024, dropout=0.0)
+    params = enc.init(jax.random.PRNGKey(0), x, xf, emb, valid)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.random.RandomState(a.size % 967).randn(*a.shape)
+            .astype(np.float32)) * 0.05, params)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def run():
+        inline = enc.apply(params, x, xf, emb, valid)
+        prep_all = enc.apply(params, xf, embs,
+                             method=enc.precompute_prep)
+        step0 = {k: {"value": v["value"], "ca_ss": v["ca_ss"][0],
+                     "ffn_ss": v["ffn_ss"][0]} for k, v in prep_all.items()}
+        with_prep = enc.apply(params, x, xf, emb, valid, prep=step0)
+        return np.asarray(inline), np.asarray(with_prep)
+
+    inline, with_prep = _interpreted(run)
+    np.testing.assert_allclose(with_prep, inline, atol=1e-5, rtol=1e-5)
