@@ -1,0 +1,47 @@
+"""Shared helpers for the fused Pallas kernels.
+
+Single home for the in-kernel numerics every fused layer uses, so a change
+(e.g. LN eps, the erf polynomial) applies to all kernels at once.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ln", "erf", "dot", "dot_t", "NEG_INF"]
+
+NEG_INF = -1e9  # large finite negative keeps softmax numerics safe in bf16
+
+
+def ln(x, scale, bias):
+    """LayerNorm, eps 1e-5 (torch parity)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+
+def erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7).
+
+    Mosaic implements neither erf nor erfc; 1.5e-7 is far below bf16
+    activation resolution, so 'exact (erf) GELU' parity holds to well
+    under the fused paths' hardware matmul tolerance (documented in
+    CLAUDE.md / PERF.md).
+    """
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def dot(a, b):
+    """a [M, K] x b [K, N] -> [M, N], f32 accumulation."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def dot_t(a, b):
+    """a [M, D] x b [K, D] -> [M, K] (contract on D, no transpose copy)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)

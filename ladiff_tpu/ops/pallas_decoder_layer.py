@@ -26,9 +26,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_decoder_layer", "pad_head_columns"]
+from ladiff_tpu.ops.pallas_common import (NEG_INF as _NEG_INF, dot as _dot,
+                                          dot_t as _dot_t, erf as _erf,
+                                          ln as _ln)
 
-_NEG_INF = -1e9
+__all__ = ["fused_decoder_layer", "pad_head_columns"]
 
 
 def pad_head_columns(w: jax.Array, H: int, Dh: int) -> jax.Array:
@@ -40,30 +42,6 @@ def pad_head_columns(w: jax.Array, H: int, Dh: int) -> jax.Array:
         parts.append(w[..., h * Dh:(h + 1) * Dh])
         parts.append(zeros)
     return jnp.concatenate(parts, axis=-1)
-
-
-def _ln(x, scale, bias):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
-
-
-def _erf(x):
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
-
-
-def _dot(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _dot_t(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
 
 
 def _heads_attention(q_pad, k_pad, v, bias, H, Dh, dtype):
@@ -175,8 +153,8 @@ def fused_decoder_layer(
     mem = mem.reshape(B * L, D)
     mvalid = mvalid.reshape(B * L, 1)
     Bb = max(1, min(block_samples, B))
-    while (Bb * T) % 8 != 0:  # terminates: 8*T is always 8-aligned
-        Bb *= 2
+    while (Bb * T) % 8 != 0:  # terminates: any multiple of 8 aligns
+        Bb += 1
     # pad the batch to a whole number of blocks: attention kernels must
     # never read out-of-bounds KEY rows (garbage keys would poison valid
     # queries through the score GEMM — NaN ignores the additive mask)

@@ -37,34 +37,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ladiff_tpu.ops.pallas_common import (NEG_INF as _NEG_INF, dot as _dot,
+                                          dot_t as _dot_t, erf as _erf,
+                                          ln as _ln)
+
 __all__ = ["fused_md_layer"]
-
-_NEG_INF = -1e9
-
-
-def _ln(x, scale, bias):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
-
-
-def _erf(x):
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
-
-
-def _dot(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _dot_t(a, b):
-    # a [M, D] x b [K, D] -> [M, K] (contract on D, no transpose copy)
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
 
 
 def _expand_rows(per_sample, Bb, T, D):
@@ -190,7 +167,7 @@ def fused_md_layer(
     F2 = ffn["linear1"]["kernel"].shape[1]
     Bb = max(1, min(block_samples, B))
     while (Bb * T) % 8 != 0 or (Bb * E) % 8 != 0:
-        Bb *= 2  # terminates: 8*T and 8*E are always 8-aligned
+        Bb += 1  # terminates: any multiple of 8 aligns both
     # pad the batch to a whole number of blocks: garbage out-of-bounds KEY
     # rows would poison valid queries through the score GEMM (NaN ignores
     # the additive mask)

@@ -322,6 +322,7 @@ class MDTransformerLayer(nn.Module):
         if (deterministic and not self.is_initializing()
                 and xf.shape[1] == 1 and self.d_model % 128 == 0
                 and self.ffn_dim % 128 == 0
+                and self.d_model // self.num_heads <= 128
                 and jax.default_backend() == "tpu"):
             return self._fused(x, xf, emb, latent_valid, prep=prep,
                                extra_rows=extra_rows)
@@ -374,10 +375,12 @@ class MDSkipTransformerEncoder(nn.Module):
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
 
     def _ordered_blocks(self):
-        return ([(f"input_blocks_{i}", b)
+        """(kind, index, name, block) in execution order; kind drives the
+        skip wiring, name keys the precomputed prep."""
+        return ([("input", i, f"input_blocks_{i}", b)
                  for i, b in enumerate(self.input_blocks)]
-                + [("middle_block", self.middle_block)]
-                + [(f"output_blocks_{i}", b)
+                + [("middle", 0, "middle_block", self.middle_block)]
+                + [("output", i, f"output_blocks_{i}", b)
                    for i, b in enumerate(self.output_blocks)])
 
     def precompute_prep(self, xf: jax.Array, embs: jax.Array):
@@ -386,7 +389,7 @@ class MDSkipTransformerEncoder(nn.Module):
         Returns {layer_name: {"value": [B, D], "ca_ss"/"ffn_ss": [S, 2D]}}.
         """
         return {name: block.compute_prep(xf, embs)
-                for name, block in self._ordered_blocks()}
+                for _, _, name, block in self._ordered_blocks()}
 
     def __call__(
         self,
@@ -406,15 +409,14 @@ class MDSkipTransformerEncoder(nn.Module):
             extra = jnp.concatenate([xf, emb[:, None, :]], axis=1)
             extra_rows = extra.reshape(B * 2, -1).astype(self.dtype)
         xs = []
-        for name, block in self._ordered_blocks():
+        for kind, i, name, block in self._ordered_blocks():
             p = prep[name] if prep is not None else None
-            if name.startswith("output_blocks_"):
-                i = int(name.rsplit("_", 1)[1])
+            if kind == "output":
                 x = self.linear_blocks[i](
                     jnp.concatenate([x, xs.pop()], axis=-1))
             x = block(x, xf, emb, latent_valid,
                       deterministic=deterministic, prep=p,
                       extra_rows=extra_rows)
-            if name.startswith("input_blocks_"):
+            if kind == "input":
                 xs.append(x)
         return self.norm(x)

@@ -190,6 +190,7 @@ class TransformerDecoderLayer(nn.Module):
                 and not return_cross_weights
                 and pos is None and query_pos is None
                 and self.d_model % 128 == 0 and self.ff_size % 128 == 0
+                and self.d_model // self.num_heads <= 128
                 and self.activation in ("relu", "gelu")
                 and jax.default_backend() == "tpu"):
             # whole layer (self-attn + cross-attn + FFN) as ONE pallas
