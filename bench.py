@@ -70,18 +70,21 @@ def main():
     np.asarray(run(params, text_cond, text_uncond, lengths, jax.random.PRNGKey(1)))
     np.asarray(noop(jax.random.PRNGKey(0)))
 
-    # per-call host<->device round-trip overhead to subtract
-    t0 = time.perf_counter()
-    for i in range(5):
-        np.asarray(noop(jax.random.PRNGKey(i)))
-    overhead = (time.perf_counter() - t0) / 5
-
-    iters = 5
-    t0 = time.perf_counter()
+    # The axon relay's round-trip overhead wobbles with pool load (see
+    # PERF.md), so a single averaged overhead sample can swing the result
+    # by 20-30%.  Interleave run/no-op timings and take best-of-N for
+    # both: the minima see the same (least-loaded) pool state.
+    iters = 8
+    run_times, noop_times = [], []
     for i in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(noop(jax.random.PRNGKey(i)))
+        noop_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
         np.asarray(run(params, text_cond, text_uncond, lengths,
                        jax.random.PRNGKey(2 + i)))
-    dt = (time.perf_counter() - t0) / iters - overhead
+        run_times.append(time.perf_counter() - t0)
+    dt = min(run_times) - min(noop_times)
     assert dt > 0
 
     samples_per_sec = BATCH / dt
