@@ -68,6 +68,65 @@ def test_fitting_recovers_joints():
     assert np.abs(fitted - target).mean() < 0.05
 
 
+def test_mano_forward_pca_and_mean():
+    """MANO: PCA coords map through hands_components, mean pose added
+    (reference body_models.py:1670-1674), 16-joint chain."""
+    from ladiff_tpu.smpl.body_model import MANO_PARENTS
+
+    assert len(MANO_PARENTS) == 16
+    model = SMPLModel.synthetic(model_type="mano")
+    T = 3
+    rng = np.random.RandomState(1)
+    go = jnp.asarray(rng.randn(T, 3).astype(np.float32) * 0.1)
+    pca = jnp.asarray(rng.randn(T, 6).astype(np.float32) * 0.3)
+    joints, verts = model.forward_mano(go, pca, jnp.zeros(10),
+                                       return_vertices=True)
+    assert joints.shape == (T, 16, 3) and verts.shape[0] == T
+
+    # PCA path == manual expansion through the component basis + mean
+    full_aa = np.einsum("bi,ij->bj", np.asarray(pca),
+                        model.hand_components[:6]) + model.hand_mean
+    pose = np.concatenate([np.asarray(go), full_aa], -1).reshape(T, 16, 3)
+    direct = model.forward(jnp.asarray(pose), jnp.zeros(10))
+    np.testing.assert_allclose(np.asarray(joints), np.asarray(direct),
+                               atol=1e-5)
+
+    # flat_hand_mean drops the mean add; use_pca=False takes raw aa
+    j_flat = model.forward_mano(go, pca, jnp.zeros(10), flat_hand_mean=True)
+    assert np.abs(np.asarray(j_flat) - np.asarray(joints)).max() > 1e-4
+    j_raw = model.forward_mano(go, jnp.asarray(full_aa), jnp.zeros(10),
+                               use_pca=False, flat_hand_mean=True)
+    np.testing.assert_allclose(np.asarray(j_raw), np.asarray(joints),
+                               atol=1e-5)
+
+
+def test_flame_forward_expression():
+    """FLAME: 5-joint chain, expression blends like shape betas
+    (reference body_models.py:2004-2007)."""
+    from ladiff_tpu.smpl.body_model import FLAME_PARENTS
+
+    assert list(FLAME_PARENTS) == [-1, 0, 1, 1, 1]
+    model = SMPLModel.synthetic(model_type="flame")
+    T = 2
+    zero = jnp.zeros((T, 3))
+    joints, verts = model.forward_flame(
+        zero, zero, zero, zero, zero, jnp.zeros(10),
+        expression=jnp.zeros(10), return_vertices=True)
+    assert joints.shape == (T, 5, 3)
+    # zero pose + zero expression: regressed rest joints
+    rest = np.asarray(model.J_regressor @ model.v_template)
+    np.testing.assert_allclose(np.asarray(joints[0]), rest, atol=1e-5)
+
+    # a nonzero expression moves vertices by expr_dirs @ expr exactly
+    expr = jnp.asarray(np.linspace(-1, 1, 10).astype(np.float32))
+    _, verts_e = model.forward_flame(
+        zero, zero, zero, zero, zero, jnp.zeros(10),
+        expression=expr, return_vertices=True)
+    expected = np.asarray(verts[0]) + np.einsum(
+        "vdb,b->vd", np.asarray(model.expr_dirs), np.asarray(expr))
+    np.testing.assert_allclose(np.asarray(verts_e[0]), expected, atol=1e-5)
+
+
 def test_smplh_and_smplx_synthetic_forward():
     """SMPLH (52j) and SMPLX (55j) kinematic trees drive the generic LBS."""
     import jax.numpy as jnp
