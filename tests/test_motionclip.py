@@ -34,6 +34,35 @@ def test_motionclip_alignment_matrix():
     np.testing.assert_allclose(np.asarray(sim), np.eye(4), atol=1e-5)
 
 
+def test_motionclip_text_encoder_loads_hf_vitb32(tmp_path):
+    """End-to-end: an HF CLIP checkpoint at ViT-B/32 text geometry converts
+    into the 512-wide tower and matches torch outputs."""
+    import os
+
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+
+    cfg = CLIPTextConfig(
+        vocab_size=49408, hidden_size=512, intermediate_size=2048,
+        num_hidden_layers=12, num_attention_heads=8,
+        max_position_embeddings=77, projection_dim=512,
+        hidden_act="quick_gelu")
+    hf = CLIPTextModelWithProjection(cfg).eval()
+    torch.save(dict(hf.state_dict()),
+               os.path.join(tmp_path, "pytorch_model.bin"))
+
+    enc = MotionClipTextEncoder(modelpath=str(tmp_path))
+    ids = np.zeros((2, 77), np.int64)
+    ids[:, 0] = 49406
+    ids[0, 1:4] = [320, 1125, 2] ; ids[0, 4] = 49407
+    ids[1, 1:2] = [1125] ; ids[1, 2] = 49407
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(ids)).text_embeds.numpy()
+    got = np.asarray(enc.encode_ids(jnp.asarray(ids.astype(np.int32))))
+    np.testing.assert_allclose(got[:, 0, :], want, atol=5e-4)
+
+
 def test_motionclip_text_encoder_contract():
     enc = MotionClipTextEncoder()
     out = enc(["a person walks forward", "someone jumps"])
