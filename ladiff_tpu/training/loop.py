@@ -15,6 +15,7 @@ caching removes the text tower from the steady-state step entirely).
 """
 from __future__ import annotations
 
+import signal
 import time
 from os.path import join as pjoin
 from typing import Dict, Optional
@@ -31,7 +32,49 @@ from ladiff_tpu.training.trainer import (create_train_state,
                                          make_optimizer, make_vae_train_step)
 from ladiff_tpu.utils.checkpoint import CheckpointManager, latest_checkpoint
 
-__all__ = ["CaptionEmbedder", "run_training", "build_system"]
+__all__ = ["CaptionEmbedder", "PreemptionGuard", "run_training",
+           "build_system"]
+
+
+class PreemptionGuard:
+    """Preemption-safe shutdown: SIGTERM/SIGINT set a flag the training loop
+    polls between steps, triggering a checkpoint save + clean return.
+
+    The reference has no preemption handling (SURVEY §5: resume-from-
+    directory only); on TPU fleets preemption is routine, so the loop
+    checkpoints before dying instead of losing up to
+    SACE_CHECKPOINT_EPOCH (200) epochs.  Use as a context manager; the
+    previous handlers are restored on exit.  A second signal falls through
+    to the previous handler (so ctrl-C twice still kills).
+    """
+
+    def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)):
+        self.signals = signals
+        self.triggered = False
+        self._prev = {}
+
+    def _handler(self, signum, frame):
+        if self.triggered:  # second signal: escalate to the old handler
+            prev = self._prev.get(signum)
+            if callable(prev):
+                prev(signum, frame)
+            else:
+                raise KeyboardInterrupt
+        self.triggered = True
+
+    def __enter__(self):
+        for s in self.signals:
+            self._prev[s] = signal.getsignal(s)
+            try:
+                signal.signal(s, self._handler)
+            except ValueError:  # not the main thread — run unguarded
+                self._prev.pop(s, None)
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._prev.items():
+            signal.signal(s, prev)
+        return False
 
 
 class CaptionEmbedder:
@@ -164,50 +207,66 @@ def run_training(cfg, dm: T2MDataModule, logger,
     save_every = int(cfg.LOGGER.get("SACE_CHECKPOINT_EPOCH", 200))
     bs = int(cfg.TRAIN.BATCH_SIZE)
     step_count = 0
-    for epoch in range(start_epoch, end_epoch):
-        t0 = time.time()
-        losses = []
-        buckets = cfg.TRAIN.get("LENGTH_BUCKETS", None)
-        buckets = tuple(buckets) if buckets else None
-        for i, batch in enumerate(dm.loader("train", batch_size=bs,
-                                            seed=epoch, buckets=buckets)):
-            if max_steps_per_epoch and i >= max_steps_per_epoch:
-                break
-            batch = _pad_batch(batch, n_dev)
-            device_batch = {
-                "motion": jnp.asarray(batch["motion"]),
-                "length": jnp.asarray(batch["length"]),
-            }
-            if stage in ("diffusion", "vae_diffusion"):
-                device_batch["text_emb"] = jnp.asarray(
-                    embedder(batch["text"]))
-            device_batch = shard_batch(device_batch, mesh)
-            rng, step_rng = jax.random.split(rng)
-            state, logs = step_fn(state, device_batch, step_rng)
-            losses.append(logs)
-            step_count += 1
-        if losses:
-            mean_logs = {k: float(np.mean([jax.device_get(l[k])
-                                           for l in losses]))
-                         for k in losses[0]}
-            dt = time.time() - t0
-            logger.info(
-                f"epoch {epoch} [{stage}] "
-                + " ".join(f"{k}={v:.5f}" for k, v in sorted(mean_logs.items()))
-                + f" ({dt:.1f}s)")
-        if (epoch + 1) % save_every == 0 or (epoch + 1) == end_epoch:
-            # diffusion-stage ckpts carry the frozen VAE too, mirroring the
-            # reference stage-2 ckpt layout (LightningModule holds both)
-            if stage == "vae":
-                tree = {"params": {"vae": jax.device_get(state.params)},
-                        "epoch": epoch + 1}
-            elif stage == "vae_diffusion":
-                tree = {"params": jax.device_get(state.params),
-                        "epoch": epoch + 1}
-            else:
-                tree = {"params": {"denoiser": jax.device_get(state.params),
-                                   "vae": jax.device_get(vae_params)},
-                        "epoch": epoch + 1}
-            path = ckpt.save(epoch + 1, tree)
-            logger.info(f"saved checkpoint {path}")
+
+    def save(epoch_mark: int) -> str:
+        # diffusion-stage ckpts carry the frozen VAE too, mirroring the
+        # reference stage-2 ckpt layout (LightningModule holds both)
+        if stage == "vae":
+            tree = {"params": {"vae": jax.device_get(state.params)},
+                    "epoch": epoch_mark}
+        elif stage == "vae_diffusion":
+            tree = {"params": jax.device_get(state.params),
+                    "epoch": epoch_mark}
+        else:
+            tree = {"params": {"denoiser": jax.device_get(state.params),
+                               "vae": jax.device_get(vae_params)},
+                    "epoch": epoch_mark}
+        return ckpt.save(epoch_mark, tree)
+
+    with PreemptionGuard() as guard:
+        for epoch in range(start_epoch, end_epoch):
+            t0 = time.time()
+            losses = []
+            buckets = cfg.TRAIN.get("LENGTH_BUCKETS", None)
+            buckets = tuple(buckets) if buckets else None
+            for i, batch in enumerate(dm.loader("train", batch_size=bs,
+                                                seed=epoch, buckets=buckets)):
+                if max_steps_per_epoch and i >= max_steps_per_epoch:
+                    break
+                if guard.triggered:
+                    break
+                batch = _pad_batch(batch, n_dev)
+                device_batch = {
+                    "motion": jnp.asarray(batch["motion"]),
+                    "length": jnp.asarray(batch["length"]),
+                }
+                if stage in ("diffusion", "vae_diffusion"):
+                    device_batch["text_emb"] = jnp.asarray(
+                        embedder(batch["text"]))
+                device_batch = shard_batch(device_batch, mesh)
+                rng, step_rng = jax.random.split(rng)
+                state, logs = step_fn(state, device_batch, step_rng)
+                losses.append(logs)
+                step_count += 1
+            if guard.triggered:
+                # partial epoch: mark the ckpt with the CURRENT epoch index
+                # so resume reruns this epoch from its start
+                path = save(epoch)
+                logger.info(
+                    f"preemption signal: saved {path} mid-epoch {epoch}, "
+                    "exiting cleanly")
+                return ckpt_dir
+            if losses:
+                mean_logs = {k: float(np.mean([jax.device_get(l[k])
+                                               for l in losses]))
+                             for k in losses[0]}
+                dt = time.time() - t0
+                logger.info(
+                    f"epoch {epoch} [{stage}] "
+                    + " ".join(f"{k}={v:.5f}"
+                               for k, v in sorted(mean_logs.items()))
+                    + f" ({dt:.1f}s)")
+            if (epoch + 1) % save_every == 0 or (epoch + 1) == end_epoch:
+                path = save(epoch + 1)
+                logger.info(f"saved checkpoint {path}")
     return ckpt_dir
