@@ -25,8 +25,8 @@ import numpy as np
 
 from ladiff_tpu.data.humanml import quaternion as Q
 
-__all__ = ["HumanAct12Dataset", "UESTCDataset", "a2m_collate",
-           "sample_frame_indices", "axis_angle_to_rot6d",
+__all__ = ["HumanAct12Dataset", "UESTCDataset", "ActionDataModule",
+           "a2m_collate", "sample_frame_indices", "axis_angle_to_rot6d",
            "generate_synthetic_humanact12", "generate_synthetic_uestc",
            "HUMANACT12_ACTION_NAMES"]
 
@@ -304,6 +304,52 @@ class UESTCDataset(_ActionDataset):
     @property
     def nfeats(self):
         return (24 + int(self.translation)) * 6
+
+
+class ActionDataModule:
+    """Action-dataset adapter with the T2MDataModule training interface.
+
+    The reference trains the action family through the same Lightning
+    datamodule plumbing as t2m (get_data.py:86-161 + a2m collate,
+    data/utils.py:78-97); here one dataset instance serves both splits
+    (``split`` is a mutable attribute of the dataset) and ``loader``
+    yields static-shape collated numpy batches for the SPMD train step.
+    ``mean``/``std`` are None: a2m features are rot6d(+trans), not
+    z-normalized RIC.
+    """
+
+    is_a2m = True
+    mean = None
+    std = None
+
+    def __init__(self, dataset, batch_size: int = 32):
+        self._ds = dataset
+        self.batch_size = batch_size
+        self.name = type(dataset).__name__.replace("Dataset", "").lower()
+        self.nfeats = dataset.nfeats
+        self.njoints = 24 + int(dataset.translation)
+        self.num_classes = dataset.num_classes
+        self.num_frames = dataset.num_frames
+
+    def dataset(self, split: str = "test"):
+        self._ds.split = split
+        return self._ds
+
+    # eval drivers index the module like the raw dataset (current split)
+    def __len__(self):
+        return len(self._ds)
+
+    def __getitem__(self, index: int):
+        return self._ds[index]
+
+    def loader(self, split: str, batch_size: Optional[int] = None,
+               seed: int = 0, buckets=None):
+        bs = batch_size or self.batch_size
+        ds = self.dataset(split)
+        order = np.random.RandomState(seed).permutation(len(ds))
+        for start in range(0, len(order), bs):
+            idx = order[start:start + bs]
+            yield a2m_collate([ds[int(i)] for i in idx], self.num_frames)
 
 
 def a2m_collate(items: List[dict], num_frames: int) -> dict:

@@ -179,10 +179,11 @@ class T2MDataModule:
             self._mm_names = None
 
 
-def _get_action_dataset(cfg, name: str, base):
+def _get_action_dataset(cfg, name: str, base, phase: str = "train"):
     """Action datasets (reference get_data.py maps humanact12/uestc to the
     a2m DataModules)."""
-    from ladiff_tpu.data.a2m import HumanAct12Dataset, UESTCDataset
+    from ladiff_tpu.data.a2m import (ActionDataModule, HumanAct12Dataset,
+                                     UESTCDataset)
 
     root = base.get("ROOT", pjoin("datasets", name))
     num_frames = int(base.get("NUM_FRAMES", 60))
@@ -190,6 +191,7 @@ def _get_action_dataset(cfg, name: str, base):
                   pose_rep=str(base.get("POSE_REP", "rot6d")),
                   translation=bool(base.get("TRANSLATION", True)),
                   glob=bool(base.get("GLOB", True)),
+                  split="test" if phase == "test" else "train",
                   seed=int(cfg.get("SEED_VALUE", 1234)))
     if name == "humanact12":
         if (not os.path.exists(pjoin(root, "humanact12poses.pkl"))
@@ -205,7 +207,8 @@ def _get_action_dataset(cfg, name: str, base):
     cfg.DATASET.NFEATS = ds.nfeats
     cfg.DATASET.NJOINTS = 24 + int(ds.translation)
     cfg.DATASET.NCLASSES = ds.num_classes
-    return ds
+    return ActionDataModule(
+        ds, batch_size=int(cfg[phase.upper()].BATCH_SIZE))
 
 
 def get_datasets(cfg, phase: str = "train") -> List[T2MDataModule]:
@@ -216,7 +219,7 @@ def get_datasets(cfg, phase: str = "train") -> List[T2MDataModule]:
         name = name.lower()
         base = cfg.DATASET.get(name.upper(), {})
         if name in ("humanact12", "uestc"):
-            modules.append(_get_action_dataset(cfg, name, base))
+            modules.append(_get_action_dataset(cfg, name, base, phase))
             continue
         data_root = base.get("ROOT", pjoin("datasets", name))
         if not os.path.exists(pjoin(data_root, "Mean.npy")):

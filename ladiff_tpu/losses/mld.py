@@ -63,9 +63,15 @@ def vae_loss(
     mu: jax.Array, logvar: jax.Array,
     weights: LossWeights,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    recons_feature = smooth_l1(feats_rst, feats_ref)
-    recons_joints = smooth_l1(joints_rst, joints_ref)
-    kl_motion = kl_normal_standard(mu, logvar)
+    # losses reduce in f32 regardless of the compute dtype (bf16 under
+    # TRAIN.MIXED_PRECISION): bf16 mean over millions of elements loses
+    # mantissa, and the KL's exp() needs the range
+    f32 = lambda x: x.astype(jnp.float32)
+    recons_feature = smooth_l1(f32(feats_rst), f32(feats_ref))
+    # joints None on the action path (rot6d features; no RIC recovery)
+    recons_joints = (smooth_l1(f32(joints_rst), f32(joints_ref))
+                     if joints_rst is not None else jnp.float32(0.0))
+    kl_motion = kl_normal_standard(f32(mu), f32(logvar))
     total = (weights.lambda_rec * recons_feature
              + weights.lambda_joint * recons_joints
              + weights.lambda_kl * kl_motion)
@@ -85,7 +91,9 @@ def diffusion_loss(
     x0: jax.Array | None = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     if predict_epsilon:
-        inst = jnp.mean((noise_pred - noise) ** 2)
+        inst = jnp.mean((noise_pred.astype(jnp.float32)
+                         - noise.astype(jnp.float32)) ** 2)
         return inst, {"inst_loss": inst, "total": inst}
-    x = jnp.mean((x0_pred - x0) ** 2)
+    x = jnp.mean((x0_pred.astype(jnp.float32)
+                  - x0.astype(jnp.float32)) ** 2)
     return x, {"x_loss": x, "total": x}

@@ -212,8 +212,15 @@ class LADiffSystem:
             deterministic=not train,
             rngs={"dropout": jax.random.fold_in(drop_rng, 1)} if train else {},
             method=self.vae.decode)
-        joints_rst = self.feats2joints(feats_rst)
-        joints_ref = self.feats2joints(feats_ref)
+        if self.condition == "action":
+            # a2m features are rot6d(+trans), not RIC; the reference's joint
+            # loss there goes through SMPL rot2xyz (ladiff.py:164,834-837),
+            # which needs SMPL assets — recon/KL carry the training signal
+            # (joint term drops; vae_loss treats None as zero)
+            joints_rst = joints_ref = None
+        else:
+            joints_rst = self.feats2joints(feats_rst)
+            joints_ref = self.feats2joints(feats_ref)
         total, logs = vae_loss(feats_rst, feats_ref, joints_rst, joints_ref,
                                mu, logvar, self.weights)
         aux = {"feats_rst": feats_rst, "z": z, "latent_valid": lat_valid,
@@ -228,7 +235,12 @@ class LADiffSystem:
         (reference train_diffusion_forward :874 + _diffusion_process :745)."""
         feats_ref = batch["motion"]
         lengths = batch["length"]
-        text_emb = batch["text_emb"]  # [B, 1, 768] pooled CLIP features
+        if self.condition == "action":
+            # class ids; EmbedAction applies the CFG unconditional drop
+            # internally via the cond_drop rng (ladiff_denoiser.py:329-343)
+            cond = batch["action"][:, 0]
+        else:
+            cond = batch["text_emb"]  # [B, 1, 768] pooled CLIP features
         B = feats_ref.shape[0]
         enc_rng, t_rng, n_rng, cfg_rng, drop_rng = jax.random.split(rng, 5)
 
@@ -247,9 +259,10 @@ class LADiffSystem:
             frame_valid = None
 
         # classifier-free caption dropout (reference ladiff.py:919-923)
-        if train and self.guidance_uncondp > 0.0:
+        if (train and self.guidance_uncondp > 0.0
+                and self.condition != "action"):
             drop = jax.random.bernoulli(cfg_rng, self.guidance_uncondp, (B, 1, 1))
-            text_emb = jnp.where(drop, uncond_emb.astype(text_emb.dtype), text_emb)
+            cond = jnp.where(drop, uncond_emb.astype(cond.dtype), cond)
 
         schedule = self.schedule
         noise = jax.random.normal(n_rng, z.shape, z.dtype)
@@ -260,11 +273,14 @@ class LADiffSystem:
             # re-zero inactive rows after noising (reference ladiff.py:779-782)
             noisy = jnp.where(lat_valid[:, :, None], noisy, 0.0)
 
+        rngs = {"dropout": drop_rng} if train else {}
+        if train and self.condition == "action":
+            rngs["cond_drop"] = cfg_rng
         noise_pred = self.denoiser.apply(
-            {"params": den_params}, noisy, timesteps, text_emb, lat_valid,
+            {"params": den_params}, noisy, timesteps, cond, lat_valid,
             frame_valid=frame_valid,
             deterministic=not train,
-            rngs={"dropout": drop_rng} if train else {})
+            rngs=rngs)
 
         if self.predict_epsilon:
             total, logs = diffusion_loss(noise_pred, noise)

@@ -98,7 +98,15 @@ class CaptionEmbedder:
         return self([""])[0][None]  # [1, 1, 768]
 
 
-def build_system(cfg, dm: T2MDataModule, dtype=jnp.float32) -> LADiffSystem:
+def build_system(cfg, dm: T2MDataModule, dtype=None) -> LADiffSystem:
+    """TRAIN.MIXED_PRECISION switches the compute dtype to bfloat16 while
+    params/optimizer state stay float32 (losses reduce in f32 — see
+    losses/mld.py) — the TPU-native speed knob the fp32-only reference
+    lacks."""
+    if dtype is None:
+        dtype = (jnp.bfloat16
+                 if bool(cfg.TRAIN.get("MIXED_PRECISION", False))
+                 else jnp.float32)
     return LADiffSystem.from_cfg(cfg, nfeats=dm.nfeats, njoints=dm.njoints,
                                  mean=dm.mean, std=dm.std, dtype=dtype)
 
@@ -138,6 +146,7 @@ def run_training(cfg, dm: T2MDataModule, logger,
     params = system.init_params(rng)
     tx = make_optimizer(float(cfg.TRAIN.OPTIM.LR))
 
+    is_action = system.condition == "action"
     if stage == "vae":
         state = create_train_state(params["vae"], tx)
         step_fn = make_vae_train_step(system, mesh)
@@ -163,14 +172,20 @@ def run_training(cfg, dm: T2MDataModule, logger,
                     found[0], {"params": {"vae": params["vae"]}, "epoch": 0})
                 vae_params = tree["params"]["vae"]
                 logger.info(f"loaded VAE epoch {found[0]} from {vae_src}")
-        if text_encoder is None:
-            from ladiff_tpu.models.clip_text import ClipTextEncoder
-            text_encoder = ClipTextEncoder(
-                modelpath=str(cfg.model.get("clip_path", "") or "") or None)
-        embedder = CaptionEmbedder(text_encoder)
+        if is_action:
+            # class-id conditioning: no text tower; the EmbedAction module
+            # handles the CFG unconditional drop in-graph
+            embedder = None
+            uncond = np.zeros((1, 1, system.text_encoded_dim), np.float32)
+        else:
+            if text_encoder is None:
+                from ladiff_tpu.models.clip_text import ClipTextEncoder
+                text_encoder = ClipTextEncoder(
+                    modelpath=str(cfg.model.get("clip_path", "") or "") or None)
+            embedder = CaptionEmbedder(text_encoder)
+            uncond = embedder.uncond
         state = create_train_state(params["denoiser"], tx)
-        step_fn = make_diffusion_train_step(system, mesh, vae_params,
-                                            embedder.uncond)
+        step_fn = make_diffusion_train_step(system, mesh, vae_params, uncond)
     elif stage == "vae_diffusion":
         if text_encoder is None:
             from ladiff_tpu.models.clip_text import ClipTextEncoder
@@ -241,8 +256,11 @@ def run_training(cfg, dm: T2MDataModule, logger,
                     "length": jnp.asarray(batch["length"]),
                 }
                 if stage in ("diffusion", "vae_diffusion"):
-                    device_batch["text_emb"] = jnp.asarray(
-                        embedder(batch["text"]))
+                    if is_action:
+                        device_batch["action"] = jnp.asarray(batch["action"])
+                    else:
+                        device_batch["text_emb"] = jnp.asarray(
+                            embedder(batch["text"]))
                 device_batch = shard_batch(device_batch, mesh)
                 rng, step_rng = jax.random.split(rng)
                 state, logs = step_fn(state, device_batch, step_rng)

@@ -67,12 +67,14 @@ def make_vae_train_step(system: LADiffSystem, mesh: Mesh) -> Callable:
         return state, logs
 
     batch_sh = {"motion": data, "length": data}
-    return jax.jit(
+    jitted = jax.jit(
         step,
         in_shardings=(repl, batch_sh, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+    jitted.raw_step = step  # unjitted body, e.g. for scan-amortized benches
+    return jitted
 
 
 def make_diffusion_train_step(system: LADiffSystem, mesh: Mesh,
@@ -98,13 +100,16 @@ def make_diffusion_train_step(system: LADiffSystem, mesh: Mesh,
         logs = dict(logs, grad_norm=optax.global_norm(grads))
         return state, logs
 
-    batch_sh = {"motion": data, "length": data, "text_emb": data}
-    return jax.jit(
+    cond_key = "action" if system.condition == "action" else "text_emb"
+    batch_sh = {"motion": data, "length": data, cond_key: data}
+    jitted = jax.jit(
         step,
         in_shardings=(repl, batch_sh, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+    jitted.raw_step = step
+    return jitted
 
 
 def make_vae_diffusion_train_step(system: LADiffSystem, mesh: Mesh,

@@ -247,6 +247,8 @@ def _run_a2m_test(cfg, logger, dataset, params=None):
     reps = int(cfg.TEST.REPLICATION_TIMES)
     num_frames = int(cfg.DATASET.get(
         "HUMANACT12" if not is_uestc else "UESTC", {}).get("NUM_FRAMES", 60))
+    if hasattr(dataset, "dataset"):  # ActionDataModule -> eval split
+        dataset = dataset.dataset("test")
     all_metrics = defaultdict(list)
     for rep in range(reps):
         metrics = ActionClassifierMetrics(num_labels=num_labels, seed=rep)

@@ -52,6 +52,28 @@ def test_vae_train_step_decreases_loss():
     assert losses[-1] < losses[0]
 
 
+def test_mixed_precision_vae_train_step():
+    """bf16 compute + f32 params (TRAIN.MIXED_PRECISION): loss finite and
+    decreasing, params/opt state stay float32, losses reduce in f32."""
+    system = tiny_system(dtype=jnp.bfloat16)
+    mesh = make_mesh()
+    params = system.init_params(jax.random.PRNGKey(0))
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree.leaves(params["vae"]))
+    state = create_train_state(params["vae"], make_optimizer(1e-3))
+    step = make_vae_train_step(system, mesh)
+    batch = shard_batch({k: v for k, v in make_batch().items()
+                         if k in ("motion", "length")}, mesh)
+    losses = []
+    for i in range(8):
+        state, logs = step(state, batch, jax.random.PRNGKey(i))
+        assert logs["total"].dtype == jnp.float32
+        losses.append(float(logs["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(state.params))
+
+
 def test_diffusion_train_step_runs_and_updates():
     system = tiny_system()
     mesh = make_mesh()
