@@ -138,6 +138,9 @@ def make_eval_step(system: LADiffSystem, evaluator: T2MEvaluator,
             "lat_m": motion_emb,
             "joints_rst": joints_rst,
             "joints_ref": joints_ref,
+            # [B, max_it, D] latents, for TEST.SAVE_LATENTS (reference
+            # ladiff.py:1175-1191 dumps gt-encoded z during vae-stage eval)
+            "z": z,
         }
 
     return jax.jit(step, static_argnames=())

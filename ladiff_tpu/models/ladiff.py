@@ -198,7 +198,13 @@ class LADiffSystem:
     # -- stage 1: VAE ---------------------------------------------------
     def vae_forward(self, vae_params, batch: Dict[str, jax.Array],
                     rng: jax.Array, train: bool = True):
-        """Reconstruction pass + losses (reference train_vae_forward :815)."""
+        """Reconstruction pass + losses (reference train_vae_forward :815).
+
+        The reference also re-encodes the reconstruction (``recons_z``,
+        ladiff.py:828, "prepare for metric") but its stage-``vae`` loss
+        never consumes it (losses/mld.py:103-108 uses only recons/KL and
+        ``latent_*`` losses are never in ``cfg.LOSS.TYPE`` for this stage),
+        so that full extra encoder pass is deliberately omitted here."""
         feats_ref = batch["motion"]
         lengths = batch["length"]
         enc_rng, dec_rng, drop_rng = jax.random.split(rng, 3)

@@ -142,8 +142,15 @@ def run_training(cfg, dm: T2MDataModule, logger,
     ckpt_dir = pjoin(exp_dir, "checkpoints")
     ckpt = CheckpointManager(ckpt_dir)
 
-    rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)))
-    params = system.init_params(rng)
+    # TRAIN.RNG_IMPL=rbg swaps the dropout/noise PRNG to the TPU-fast
+    # counter-based generator: threefry random-bit generation is ALU-bound
+    # and costs ~24% of the VAE step (134 -> 102 ms/step measured, PERF.md)
+    impl = {"threefry": "threefry2x32", "rbg": "rbg",
+            "unsafe_rbg": "unsafe_rbg"}[
+        str(cfg.TRAIN.get("RNG_IMPL", "threefry"))]
+    rng = jax.random.key(int(cfg.get("SEED_VALUE", 1234)), impl=impl)
+    params = system.init_params(jax.random.PRNGKey(
+        int(cfg.get("SEED_VALUE", 1234))))
     tx = make_optimizer(float(cfg.TRAIN.OPTIM.LR))
 
     is_action = system.condition == "action"

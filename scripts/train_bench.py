@@ -33,7 +33,17 @@ def main():
     ap.add_argument("--frames", type=int, default=196)
     ap.add_argument("--bf16", action="store_true",
                     help="mixed precision (TRAIN.MIXED_PRECISION)")
+    ap.add_argument("--rng", default="threefry2x32",
+                    choices=["threefry2x32", "rbg", "unsafe_rbg"],
+                    help="PRNG impl for dropout/noise keys (TRAIN.RNG_IMPL)")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="time VAE-step variants to localize the cost")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on host CPU (sanity-check mode; numbers are "
+                         "not TPU numbers)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from ladiff_tpu.utils.jax_cache import enable as _enable
     _enable()
@@ -56,7 +66,7 @@ def main():
     tx = make_optimizer(1e-4)
 
     B = args.batch
-    rng = jax.random.PRNGKey(1)
+    rng = jax.random.key(1, impl=args.rng)
     lengths = np.minimum(
         40 + 8 * np.arange(B) % (args.frames - 39), args.frames)
     batch = {
@@ -99,7 +109,7 @@ def main():
 
         np.asarray(many(state, rng))                 # compile + warm
         t0 = time.perf_counter()
-        np.asarray(many(state, jax.random.PRNGKey(7)))
+        np.asarray(many(state, jax.random.key(7, impl=args.rng)))
         dt = (time.perf_counter() - t0 - overhead) / args.iters
         print(json.dumps({
             "stage": stage, "batch": B,
@@ -112,6 +122,9 @@ def main():
     state = create_train_state(jax.tree.map(jnp.copy, params["vae"]), tx)
     bench("vae_train", state, make_vae_train_step(system, mesh))
 
+    if args.breakdown:
+        vae_breakdown(system, params["vae"], batch, rng, args, overhead)
+
     uncond = np.zeros((1, 1, 768), np.float32)
     state2 = create_train_state(params["denoiser"], tx)
     step2 = make_diffusion_train_step(system, mesh, params["vae"], uncond)
@@ -119,6 +132,104 @@ def main():
         np.random.RandomState(1).randn(B, 1, 768).astype(np.float32))
     bench("diffusion_train", state2, step2,
           extra={"text_emb": jax.device_put(text)})
+
+
+def vae_breakdown(system, vae_params, batch, rng, args, overhead):
+    """Localize the VAE step cost: times grad passes of reduced graphs.
+
+    Differences between rows bound individual components (dropout RNG,
+    the feats2joints joint-loss chain, encoder vs decoder fwd+bwd); each
+    row is scan-amortized over --iters evaluations like the step bench.
+    """
+    import time
+    from ladiff_tpu.losses.mld import vae_loss, smooth_l1
+
+    feats = batch["motion"]
+    lengths = batch["length"]
+
+    def fwd(p, r, train):
+        e, d, drop = jax.random.split(r, 3)
+        z, mu, logvar, _ = system.vae.apply(
+            {"params": p}, feats, lengths, rng=e, deterministic=not train,
+            rngs={"dropout": drop} if train else {}, method=system.vae.encode)
+        rst = system.vae.apply(
+            {"params": p}, z, lengths, nframes=feats.shape[1],
+            deterministic=not train,
+            rngs={"dropout": jax.random.fold_in(drop, 1)} if train else {},
+            method=system.vae.decode)
+        return z, mu, logvar, rst
+
+    def loss_full(p, r, train=True, joints=True):
+        z, mu, logvar, rst = fwd(p, r, train)
+        j_rst = system.feats2joints(rst) if joints else None
+        j_ref = system.feats2joints(feats) if joints else None
+        total, _ = vae_loss(rst, feats, j_rst, j_ref, mu, logvar,
+                            system.weights)
+        return total
+
+    def loss_encode(p, r, train=True):
+        e, drop = jax.random.split(r)
+        z, mu, logvar, _ = system.vae.apply(
+            {"params": p}, feats, lengths, rng=e, deterministic=not train,
+            rngs={"dropout": drop} if train else {},
+            method=system.vae.encode)
+        return (jnp.mean(z.astype(jnp.float32) ** 2)
+                + jnp.mean(mu.astype(jnp.float32) ** 2)
+                + jnp.mean(logvar.astype(jnp.float32) ** 2))
+
+    z0 = jax.jit(lambda p, r: fwd(p, r, False)[0])(vae_params, rng)
+
+    def loss_decode(p, r, train=True):
+        rst = system.vae.apply(
+            {"params": p}, z0, lengths, nframes=feats.shape[1],
+            deterministic=not train,
+            rngs={"dropout": r} if train else {}, method=system.vae.decode)
+        return smooth_l1(rst.astype(jnp.float32), feats)
+
+    def loss_joints(x, r):
+        return jnp.mean(system.feats2joints(x) ** 2)
+
+    rows = [
+        ("full_grad", lambda p, r: loss_full(p, r), vae_params),
+        ("no_dropout_grad", lambda p, r: loss_full(p, r, train=False),
+         vae_params),
+        ("no_jointloss_grad", lambda p, r: loss_full(p, r, joints=False),
+         vae_params),
+        ("encoder_grad", loss_encode, vae_params),
+        ("decoder_grad", loss_decode, vae_params),
+        ("feats2joints_grad", loss_joints, feats),
+        ("full_fwd_only", None, vae_params),
+    ]
+
+    for name, loss_fn, arg in rows:
+        if loss_fn is None:
+            def many(a, r):
+                tot, _ = jax.lax.scan(
+                    lambda c, rr: (c + loss_full(a, rr), None),
+                    jnp.float32(0.0), jax.random.split(r, args.iters))
+                return tot
+        else:
+            g = jax.value_and_grad(loss_fn)
+
+            def many(a, r, g=g):
+                def body(c, rr):
+                    v, gr = g(a, rr)
+                    # consume EVERY grad leaf, else XLA dead-code-eliminates
+                    # the parts of the backward pass we are trying to time
+                    gsum = sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                               for x in jax.tree.leaves(gr))
+                    return c + v + gsum, None
+                tot, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                      jax.random.split(r, args.iters))
+                return tot
+
+        jitted = jax.jit(many)
+        np.asarray(jitted(arg, rng))
+        t0 = time.perf_counter()
+        np.asarray(jitted(arg, jax.random.key(9, impl=args.rng)))
+        dt = (time.perf_counter() - t0 - overhead) / args.iters
+        print(json.dumps({"variant": name,
+                          "ms": round(dt * 1e3, 2)}))
 
 
 if __name__ == "__main__":

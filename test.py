@@ -85,6 +85,16 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
 
     from ladiff_tpu.metrics.uncond import UncondMetrics
     count_time = bool(cfg.TEST.get("COUNT_TIME", False))
+    # TEST.SAVE_LATENTS (reference ladiff.py:1175-1191): during vae-stage
+    # eval, dump each batch's gt-encoded latents as
+    # datasets/latents/latent_<n>.npy with a running 6-digit counter.
+    # (The reference requires ./datasets/latents to pre-exist; we create it.)
+    save_latents = bool(cfg.TEST.get("SAVE_LATENTS", False)) and stage == "vae"
+    latents_dir = str(cfg.TEST.get("LATENTS_DIR", "./datasets/latents"))
+    if save_latents:
+        os.makedirs(latents_dir, exist_ok=True)
+        latent_count = len([f for f in os.listdir(latents_dir)
+                            if "latent" in f])
     times = []
     for rep in range(reps):
         tm2t = TM2TMetrics(diversity_times=min(
@@ -114,6 +124,10 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
                 # reference TEST.COUNT_TIME: per-batch latency, times.txt
                 # (ladiff.py:253-306)
                 times.append(time.time() - bt0)
+            if save_latents:
+                np.save(pjoin(latents_dir, f"latent_{latent_count:06d}.npy"),
+                        np.asarray(out["z"]))
+                latent_count += 1
             lengths = list(np.asarray(batch["length"]))
             n_seq += len(lengths)
             if "TM2TMetrics" in metric_types:

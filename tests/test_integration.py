@@ -131,9 +131,18 @@ def test_vae_stage_eval(pipeline_root, dm):
     if not os.path.isdir(ckpt_dir):
         pytest.skip("stage-1 test must run first")
     cfg.TEST.CHECKPOINTS = ckpt_dir
+    # TEST.SAVE_LATENTS: vae-stage eval dumps gt-encoded latents
+    # (reference ladiff.py:1175-1191)
+    lat_dir = str(pipeline_root / "latents")
+    cfg.TEST.SAVE_LATENTS = True
+    cfg.TEST.LATENTS_DIR = lat_dir
     logger = create_logger(cfg, phase="test")
     logger.setLevel(logging.WARNING)
     summary = run_test(cfg, logger, datamodule=dm,
                        text_encoder=_FakeTextEncoder(48))
     assert "MPJPE" in summary
     assert np.isfinite(summary["MPJPE"][0])
+    lat_files = sorted(f for f in os.listdir(lat_dir) if "latent" in f)
+    assert lat_files and lat_files[0] == "latent_000000.npy"
+    z = np.load(os.path.join(lat_dir, lat_files[0]))
+    assert z.ndim == 3 and z.shape[1:] == (5, 32) and np.isfinite(z).all()

@@ -74,6 +74,26 @@ def test_mixed_precision_vae_train_step():
     assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(state.params))
 
 
+def test_rbg_rng_train_step():
+    """TRAIN.RNG_IMPL=rbg: the counter-based key flows through split/
+    fold_in and the dropout rngs; loss stays finite and decreases."""
+    system = tiny_system()
+    mesh = make_mesh()
+    params = system.init_params(jax.random.PRNGKey(0))
+    state = create_train_state(params["vae"], make_optimizer(1e-3))
+    step = make_vae_train_step(system, mesh)
+    batch = shard_batch({k: v for k, v in make_batch().items()
+                         if k in ("motion", "length")}, mesh)
+    rng = jax.random.key(0, impl="rbg")
+    losses = []
+    for i in range(6):
+        rng, sub = jax.random.split(rng)
+        state, logs = step(state, batch, sub)
+        losses.append(float(logs["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_diffusion_train_step_runs_and_updates():
     system = tiny_system()
     mesh = make_mesh()
