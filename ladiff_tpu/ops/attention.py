@@ -19,6 +19,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from ladiff_tpu.ops.pallas_common import pallas_enabled
 
 __all__ = ["MultiHeadAttention", "masked_attention"]
 
@@ -96,7 +97,7 @@ def masked_attention(
     if (_PALLAS_ENABLED and Sq == Sk and Sq >= 64
             and dropout_rate == 0.0 and not return_weights
             and D % num_heads == 0
-            and jax.default_backend() == "tpu"):
+            and pallas_enabled()):
         from ladiff_tpu.ops.pallas_attention import pallas_masked_attention
         return pallas_masked_attention(q, k, v, key_valid,
                                        num_heads=num_heads)

@@ -5,12 +5,27 @@ Single home for the in-kernel numerics every fused layer uses, so a change
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ln", "erf", "dot", "dot_t", "NEG_INF"]
+__all__ = ["ln", "erf", "dot", "dot_t", "NEG_INF", "pallas_enabled"]
 
 NEG_INF = -1e9  # large finite negative keeps softmax numerics safe in bf16
+
+
+def pallas_enabled() -> bool:
+    """Backend half of every fused-kernel gate (callers add their own
+    shape/determinism conditions).
+
+    LADIFF_DISABLE_PALLAS=1 forces the plain-XLA path even on TPU: the
+    fused kernels define no VJP, so any caller differentiating through a
+    ``deterministic=True`` forward pass needs it, and it enables
+    kernel-vs-XLA A/B timing.  Read at trace time.
+    """
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("LADIFF_DISABLE_PALLAS", "0") != "1")
 
 
 def ln(x, scale, bias):

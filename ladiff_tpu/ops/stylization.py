@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from ladiff_tpu.ops.param_layers import DenseParams, LNParams
 from ladiff_tpu.ops.transformer import TransformerEncoderLayer
+from ladiff_tpu.ops.pallas_common import pallas_enabled
 
 __all__ = [
     "StylizationBlock",
@@ -95,7 +96,7 @@ class LinearTemporalCrossAttention(nn.Module):
             # y[b,t] = v[b] for valid rows (0 for masked rows).  The q/k
             # GEMMs cancel out of the math entirely.
             if (deterministic and D % 128 == 0
-                    and jax.default_backend() == "tpu"):
+                    and pallas_enabled()):
                 from ladiff_tpu.ops.pallas_stylize import \
                     fused_broadcast_stylize
                 scale, shift = proj_out.scale_shift(emb)
@@ -190,7 +191,7 @@ class StylizedFFN(nn.Module):
         D = self.latent_dim
         use_fused = (deterministic and x.ndim == 3
                      and D % 128 == 0 and self.ffn_dim % 128 == 0
-                     and jax.default_backend() == "tpu")
+                     and pallas_enabled())
         if use_fused:
             from ladiff_tpu.ops.pallas_fused_ffn import fused_stylized_ffn
             B, T, _ = x.shape
@@ -323,7 +324,7 @@ class MDTransformerLayer(nn.Module):
                 and xf.shape[1] == 1 and self.d_model % 128 == 0
                 and self.ffn_dim % 128 == 0
                 and self.d_model // self.num_heads <= 128
-                and jax.default_backend() == "tpu"):
+                and pallas_enabled()):
             return self._fused(x, xf, emb, latent_valid, prep=prep,
                                extra_rows=extra_rows)
         # self-attention over [latents; text; time] with 2 always-valid

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ladiff_tpu.ops.attention import MultiHeadAttention
+from ladiff_tpu.ops.pallas_common import pallas_enabled
 
 __all__ = [
     "TransformerEncoderLayer",
@@ -68,7 +69,7 @@ class TransformerEncoderLayer(nn.Module):
         D = self.d_model
         if (deterministic and D % 128 == 0 and self.ff_size % 128 == 0
                 and self.activation in ("relu", "gelu")
-                and jax.default_backend() == "tpu"):
+                and pallas_enabled()):
             from ladiff_tpu.ops.pallas_postnorm_ffn import fused_postnorm_ffn
             B, S, _ = resid_sum.shape
             out = fused_postnorm_ffn(
@@ -156,7 +157,7 @@ class TransformerDecoderLayer(nn.Module):
         D = self.d_model
         if (deterministic and D % 128 == 0 and self.ff_size % 128 == 0
                 and self.activation in ("relu", "gelu")
-                and jax.default_backend() == "tpu"):
+                and pallas_enabled()):
             from ladiff_tpu.ops.pallas_postnorm_ffn import fused_postnorm_ffn
             B, S, _ = resid_sum.shape
             out = fused_postnorm_ffn(
@@ -192,7 +193,7 @@ class TransformerDecoderLayer(nn.Module):
                 and self.d_model % 128 == 0 and self.ff_size % 128 == 0
                 and self.d_model // self.num_heads <= 128
                 and self.activation in ("relu", "gelu")
-                and jax.default_backend() == "tpu"):
+                and pallas_enabled()):
             # whole layer (self-attn + cross-attn + FFN) as ONE pallas
             # kernel — the VAE decode hot path
             from ladiff_tpu.ops.pallas_decoder_layer import \

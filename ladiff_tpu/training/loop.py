@@ -144,7 +144,7 @@ def run_training(cfg, dm: T2MDataModule, logger,
 
     # TRAIN.RNG_IMPL=rbg swaps the dropout/noise PRNG to the TPU-fast
     # counter-based generator: threefry random-bit generation is ALU-bound
-    # and costs ~24% of the VAE step (134 -> 102 ms/step measured, PERF.md)
+    # and costs ~36% of the VAE step (132 -> 99.5 ms/step measured, PERF.md)
     impl = {"threefry": "threefry2x32", "rbg": "rbg",
             "unsafe_rbg": "unsafe_rbg"}[
         str(cfg.TRAIN.get("RNG_IMPL", "threefry"))]

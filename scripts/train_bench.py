@@ -144,6 +144,10 @@ def vae_breakdown(system, vae_params, batch, rng, args, overhead):
     import time
     from ladiff_tpu.losses.mld import vae_loss, smooth_l1
 
+    # the train=False variants differentiate through deterministic forward
+    # passes, which would otherwise pick the fused Pallas kernels (no VJP)
+    os.environ["LADIFF_DISABLE_PALLAS"] = "1"
+
     feats = batch["motion"]
     lengths = batch["length"]
 
@@ -230,6 +234,7 @@ def vae_breakdown(system, vae_params, batch, rng, args, overhead):
         dt = (time.perf_counter() - t0 - overhead) / args.iters
         print(json.dumps({"variant": name,
                           "ms": round(dt * 1e3, 2)}))
+    del os.environ["LADIFF_DISABLE_PALLAS"]
 
 
 if __name__ == "__main__":
