@@ -27,6 +27,12 @@ REF_SAMPLES_PER_SEC = 4.6  # MLD DDIM-50 V100 estimate (see module docstring)
 BATCH = 256
 STEPS = 50
 FRAMES = 196
+# back-to-back generation batches inside ONE jitted scan: steady-state
+# serving throughput.  Per-call timing pays the axon relay's 15-35 ms
+# dispatch on a ~55 ms program (~35% haircut that no real serving loop
+# pays); amortizing over K batches spreads the one round trip thin —
+# the same protocol PERF.md documents for the training benches.
+SCAN_BATCHES = 8
 
 
 def main():
@@ -58,6 +64,16 @@ def main():
         return jnp.float32(jnp.sum(feats))
 
     @jax.jit
+    def run_many(params, text_cond, text_uncond, lengths, rng):
+        def body(acc, r):
+            feats, _ = system.generate(params, text_cond, text_uncond,
+                                       lengths, r, nframes=FRAMES)
+            return acc + jnp.float32(jnp.sum(feats)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jax.random.split(rng, SCAN_BATCHES))
+        return acc
+
+    @jax.jit
     def noop(rng):
         return jnp.float32(jax.random.uniform(rng, ()))
 
@@ -68,14 +84,16 @@ def main():
 
     # compile + warmup
     np.asarray(run(params, text_cond, text_uncond, lengths, jax.random.PRNGKey(1)))
+    np.asarray(run_many(params, text_cond, text_uncond, lengths,
+                        jax.random.PRNGKey(1)))
     np.asarray(noop(jax.random.PRNGKey(0)))
 
     # The axon relay's round-trip overhead wobbles with pool load (see
     # PERF.md), so a single averaged overhead sample can swing the result
     # by 20-30%.  Interleave run/no-op timings and take best-of-N for
     # both: the minima see the same (least-loaded) pool state.
-    iters = 8
-    run_times, noop_times = [], []
+    iters = 4
+    run_times, many_times, noop_times = [], [], []
     for i in range(iters):
         t0 = time.perf_counter()
         np.asarray(noop(jax.random.PRNGKey(i)))
@@ -84,14 +102,23 @@ def main():
         np.asarray(run(params, text_cond, text_uncond, lengths,
                        jax.random.PRNGKey(2 + i)))
         run_times.append(time.perf_counter() - t0)
-    dt = min(run_times) - min(noop_times)
-    assert dt > 0
+        t0 = time.perf_counter()
+        np.asarray(run_many(params, text_cond, text_uncond, lengths,
+                            jax.random.PRNGKey(20 + i)))
+        many_times.append(time.perf_counter() - t0)
+    dt_single = min(run_times) - min(noop_times)
+    dt = (min(many_times) - min(noop_times)) / SCAN_BATCHES
+    assert dt > 0 and dt_single > 0
 
     samples_per_sec = BATCH / dt
+    import sys
+    print(f"# single-batch (per-call dispatch included): "
+          f"{BATCH / dt_single:.0f} samples/s", file=sys.stderr)
     print(json.dumps({
         "metric": "ddim50_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 2),
-        "unit": "samples/s (batch 256, 196 frames, CFG, DDIM-50)",
+        "unit": "samples/s (batch 256, 196 frames, CFG, DDIM-50, "
+                "steady-state over 8 batches)",
         "vs_baseline": round(samples_per_sec / REF_SAMPLES_PER_SEC, 2),
     }))
 

@@ -94,12 +94,19 @@ class T2MEvaluator:
 
 def make_eval_step(system: LADiffSystem, evaluator: T2MEvaluator,
                    mean_eval, std_eval, stage: str = "diffusion",
-                   num_inference_timesteps: Optional[int] = None) -> Callable:
+                   num_inference_timesteps: Optional[int] = None,
+                   mesh=None) -> Callable:
     """Returns jitted
     (params, batch, text_cond, text_uncond, rng) -> dict of embeddings/joints.
 
     stage "diffusion": text -> z via DDIM (reference t2m_eval :1134-1145);
     stage "vae": gt motion -> z via the encoder (reference :1150-1154).
+
+    ``mesh``: optional data mesh — batch/text inputs shard over the ``data``
+    axis, params replicate, outputs gather; the benchmark protocol then
+    scales over chips exactly like the training step (the reference forces
+    test to a single device, test.py:193-197 via config.py — here eval is
+    the same SPMD program as everything else).
     """
     mean_eval = jnp.asarray(mean_eval)
     std_eval = jnp.asarray(std_eval)
@@ -143,4 +150,14 @@ def make_eval_step(system: LADiffSystem, evaluator: T2MEvaluator,
             "z": z,
         }
 
-    return jax.jit(step, static_argnames=())
+    if mesh is None:
+        return jax.jit(step, static_argnames=())
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ladiff_tpu.parallel.mesh import DATA_AXIS
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    batch_sh = {"motion": data, "length": data, "word_embs": data,
+                "pos_ohot": data, "text_len": data}
+    return jax.jit(step,
+                   in_shardings=(repl, batch_sh, data, data, repl),
+                   out_shardings=repl)

@@ -74,12 +74,25 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
             evaluator = T2MEvaluator.random_init(dm.nfeats)
 
     stage = str(cfg.TRAIN.STAGE)
-    eval_step = make_eval_step(system, evaluator, dm.mean_eval, dm.std_eval,
-                               stage="vae" if stage == "vae" else "diffusion")
-
     metric_types = list(cfg.METRIC.TYPE)
     reps = int(cfg.TEST.REPLICATION_TIMES)
     bs = int(cfg.TEST.BATCH_SIZE)
+
+    # data-parallel eval over the device mesh (the reference forces test to
+    # one GPU, config.py:193-197; here the benchmark is the same SPMD
+    # program as training).  Every batch is padded to exactly TEST.BATCH_SIZE
+    # below, so sharding divisibility only depends on the configured bs.
+    from ladiff_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    eval_step = make_eval_step(system, evaluator, dm.mean_eval, dm.std_eval,
+                               stage="vae" if stage == "vae" else "diffusion",
+                               mesh=mesh if bs % n_dev == 0 else None)
+    n_rep_mm = int(cfg.TEST.MM_NUM_REPEATS)
+    eval_step_mm = make_eval_step(
+        system, evaluator, dm.mean_eval, dm.std_eval,
+        stage="vae" if stage == "vae" else "diffusion",
+        mesh=mesh if n_rep_mm % n_dev == 0 else None)
     all_metrics = defaultdict(list)
     rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)))
 
@@ -107,19 +120,28 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
         n_seq = 0
         for batch in dm.loader("test", batch_size=bs, shuffle=True, seed=rep):
             texts = batch["text"]
-            cond = jnp.asarray(embedder(texts))
-            uncond = jnp.asarray(np.repeat(embedder.uncond, len(texts), 0))
+            n_true = len(texts)
+            # pad ragged final batches to the one compiled shape (outputs
+            # trimmed to n_true below); also keeps the data-axis sharding
+            # divisible for any mesh size that divides TEST.BATCH_SIZE
+            pad = bs - n_true
+            rep_pad = lambda v: (np.concatenate(
+                [v, np.repeat(v[-1:], pad, 0)]) if pad else v)
+            cond = jnp.asarray(rep_pad(embedder(texts)))
+            uncond = jnp.asarray(np.repeat(embedder.uncond, bs, 0))
             device_batch = {
-                "motion": jnp.asarray(batch["motion"]),
-                "length": jnp.asarray(batch["length"]),
-                "word_embs": jnp.asarray(batch["word_embs"]),
-                "pos_ohot": jnp.asarray(batch["pos_ohot"]),
-                "text_len": jnp.asarray(batch["text_len"]),
+                "motion": jnp.asarray(rep_pad(batch["motion"])),
+                "length": jnp.asarray(rep_pad(batch["length"])),
+                "word_embs": jnp.asarray(rep_pad(batch["word_embs"])),
+                "pos_ohot": jnp.asarray(rep_pad(batch["pos_ohot"])),
+                "text_len": jnp.asarray(rep_pad(batch["text_len"])),
             }
             rng, step_rng = jax.random.split(rng)
             bt0 = time.time()
             out = jax.device_get(eval_step(params, device_batch, cond,
                                            uncond, step_rng))
+            if pad:
+                out = {k: v[:n_true] for k, v in out.items()}
             if count_time:
                 # reference TEST.COUNT_TIME: per-batch latency, times.txt
                 # (ladiff.py:253-306)
@@ -173,8 +195,8 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
                         np.repeat(batch["text_len"], n_rep, 0)),
                 }
                 rng, step_rng = jax.random.split(rng)
-                out = jax.device_get(eval_step(params, rep_batch,
-                                               cond, uncond, step_rng))
+                out = jax.device_get(eval_step_mm(params, rep_batch,
+                                                  cond, uncond, step_rng))
                 mm.update(out["lat_rm"][None], [1])
             dm.mm_mode(False)
             if mm.count_seq > int(cfg.TEST.MM_NUM_TIMES):
