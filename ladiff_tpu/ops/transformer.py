@@ -12,6 +12,7 @@ Differences from the reference, by design:
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax
@@ -221,7 +222,10 @@ class TransformerDecoderLayer(nn.Module):
                 memory.astype(self.dtype),
                 mv.astype(jnp.float32),
                 params, T=T, L=L, H=self.num_heads,
-                activation=self.activation)
+                activation=self.activation,
+                # sweepable at trace time (scripts/breakdown.py --sweep);
+                # 2 won the scan-amortized sweep on v5e (PERF.md)
+                block_samples=int(os.environ.get("LADIFF_DECODE_BLOCK", "2")))
             return out.reshape(B, T, D)
         self_attn = self.self_attn
         cross_attn = self.multihead_attn

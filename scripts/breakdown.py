@@ -75,10 +75,59 @@ def main():
                                    rng, nframes=FRAMES)
         return jnp.float32(jnp.sum(feats))
 
-    t_sample = timeit(sample_only, params, rng0, overhead=overhead)
-    t_full = timeit(full, params, rng0, overhead=overhead)
-    t_decode = t_full - t_sample
+    # scan-amortized (K back-to-back batches inside one jit): the per-call
+    # relay dispatch spreads over K, so stage sums match the steady-state
+    # bench.py protocol instead of under-reading by the dispatch wobble
+    K = 8
+
+    def scanned(body):
+        @jax.jit
+        def many(params, rng):
+            acc, _ = jax.lax.scan(
+                lambda c, r: (c + body(params, r), None),
+                jnp.float32(0.0), jax.random.split(rng, K))
+            return acc
+        return many
+
+    sample_many = scanned(
+        lambda p, r: jnp.float32(jnp.sum(system.diffusion_reverse(
+            p["denoiser"], text_cond, text_uncond, lengths, r))))
+    full_many = scanned(
+        lambda p, r: jnp.float32(jnp.sum(system.generate(
+            p, text_cond, text_uncond, lengths, r, nframes=FRAMES)[0])))
+
+    z0 = jax.jit(lambda p, r: system.diffusion_reverse(
+        p["denoiser"], text_cond, text_uncond, lengths, r))(params, rng0)
+
+    def decode_body(p, r):
+        # tie the input to the scan key so XLA cannot hoist the (otherwise
+        # loop-invariant) decode out of the scan
+        z = z0 + (1e-12 * jax.random.uniform(r, ())).astype(z0.dtype)
+        return jnp.float32(jnp.sum(system.vae.apply(
+            {"params": p["vae"]}, z, lengths, nframes=FRAMES,
+            deterministic=True, method=system.vae.decode)))
+
+    decode_many = scanned(decode_body)
+
+    if "--sweep" in sys.argv:
+        # decode block_samples sweep under the scan-amortized protocol
+        # (the original per-call sweep was polluted by dispatch wobble)
+        for bb in (1, 2, 4):
+            os.environ["LADIFF_DECODE_BLOCK"] = str(bb)
+            t = timeit(scanned(decode_body), params, rng0, iters=2,
+                       overhead=overhead) / K
+            print(json.dumps({"stage": f"decode_bb{bb}",
+                              "ms_per_batch": round(t * 1e3, 2)}))
+        del os.environ["LADIFF_DECODE_BLOCK"]
+        return
+
+    t_sample = timeit(sample_many, params, rng0, iters=2,
+                      overhead=overhead) / K
+    t_decode = timeit(decode_many, params, rng0, iters=2,
+                      overhead=overhead) / K
+    t_full = timeit(full_many, params, rng0, iters=2, overhead=overhead) / K
     for name, t in (("sampler_50steps", t_sample), ("decode", t_decode),
+                    ("glue", t_full - t_sample - t_decode),
                     ("full", t_full)):
         print(json.dumps({
             "stage": name, "ms_per_batch": round(t * 1e3, 2),
