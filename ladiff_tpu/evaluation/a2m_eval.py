@@ -21,12 +21,16 @@ __all__ = ["make_a2m_eval_step", "run_a2m_eval"]
 
 
 def make_a2m_eval_step(system, vae, classifier, classifier_params,
-                       classifier_kind: str = "gru") -> Callable:
+                       classifier_kind: str = "gru",
+                       mesh=None) -> Callable:
     """jitted (params, batch, rng) -> features/logits for gen + gt.
 
     ``system`` here is an action-conditioned LADiffSystem whose denoiser has
     condition="action"; ``vae`` is the ActorVae.  The classifier consumes
-    [B, T, F] rot6d features (GRU flattens; STGCN reshapes to joints)."""
+    [B, T, F] rot6d features (GRU flattens; STGCN reshapes to joints).
+
+    ``mesh``: optional data mesh — batch shards over the ``data`` axis and
+    params replicate, mirroring make_eval_step (t2m_eval.py)."""
 
     def classify(motion, lengths):
         if classifier_kind == "gru":
@@ -60,26 +64,49 @@ def make_a2m_eval_step(system, vae, classifier, classifier_params,
                 "gt_feats": gt_f, "gt_logits": gt_l,
                 "feats_rst": feats_rst}
 
-    return jax.jit(step)
+    if mesh is None:
+        return jax.jit(step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ladiff_tpu.parallel.mesh import DATA_AXIS
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    batch_sh = {"motion": data, "length": data, "action": data,
+                "mask": data}
+    return jax.jit(step, in_shardings=(repl, batch_sh, repl),
+                   out_shardings=repl)
 
 
 def run_a2m_eval(system, vae, params, dataset, classifier, classifier_params,
                  metrics, batch_size: int = 32, num_frames: int = 60,
                  classifier_kind: str = "gru", seed: int = 0):
-    """One full pass over an action dataset, accumulating metrics."""
-    from ladiff_tpu.data.a2m import a2m_collate
+    """One full pass over an action dataset, accumulating metrics.
 
+    Batches are padded to ``batch_size`` (outputs trimmed back): one
+    compiled shape for the whole pass, and the data-axis sharding divides
+    for any mesh size that divides the batch size."""
+    from ladiff_tpu.data.a2m import a2m_collate
+    from ladiff_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
     step = make_a2m_eval_step(system, vae, classifier, classifier_params,
-                              classifier_kind)
+                              classifier_kind,
+                              mesh=mesh if batch_size % n_dev == 0 else None)
     rng = jax.random.PRNGKey(seed)
     n = len(dataset)
     for start in range(0, n, batch_size):
         items = [dataset[i] for i in range(start, min(start + batch_size, n))]
+        n_true = len(items)
         batch = a2m_collate(items, num_frames)
-        device_batch = {k: jnp.asarray(v) for k, v in batch.items()
-                        if k != "action_text"}
+        pad = batch_size - n_true
+        rep_pad = lambda v: (np.concatenate(
+            [v, np.repeat(v[-1:], pad, 0)]) if pad else v)
+        device_batch = {k: jnp.asarray(rep_pad(np.asarray(v)))
+                        for k, v in batch.items() if k != "action_text"}
         rng, step_rng = jax.random.split(rng)
         out = jax.device_get(step(params, device_batch, step_rng))
+        if pad:
+            out = {k: v[:n_true] for k, v in out.items()}
         metrics.update(batch["action"], out["rec_feats"], out["rec_logits"],
                        out["gt_feats"], out["gt_logits"],
                        list(batch["length"]))
