@@ -77,11 +77,64 @@ def main():
     uncond = jnp.asarray(np.repeat(embedder.uncond, len(texts), 0))
     lengths_arr = jnp.asarray(np.array(lengths, np.int32))
 
-    rng = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)))
+    rng0 = jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 1234)))
     latentwise = cfg.DEMO.get("LATENTWISE_GEN")
     task = str(cfg.DEMO.get("TASK", "text_motion"))
+    # reference demo flags: --replication runs the whole generation N
+    # times; --allinone (DEMO.OUTALL) additionally groups all replications
+    # into one [nsample, nrep, T, J, 3] npy (reference demo.py:210-230;
+    # per-rep files there silently overwrite each other — here rep r > 0
+    # gets a _rep{r} suffix instead)
+    reps = int(cfg.DEMO.get("REPLICATION", 1) or 1)
+    outall = bool(cfg.DEMO.get("OUTALL", False))
+    if latentwise and (reps > 1 or outall):
+        raise SystemExit("--latentwise_gen is incompatible with "
+                         "--replication/--allinone (same as the reference)")
+    rep_joints, rep_lengths = [], []
 
     t0 = time.time()
+    for rep_i in range(reps):
+        rng = jax.random.fold_in(rng0, rep_i)
+        texts = [t for _, t in pairs]
+        lengths_arr = jnp.asarray(np.array(lengths, np.int32))
+        joints, texts, lengths_arr = _generate_once(
+            cfg, system, params, rng, cond, uncond, texts, lengths_arr,
+            pairs, task, latentwise, logger, jax, jnp, np,
+            latent_valid_mask, plot_att_allowed=(rep_i == 0))
+        rep_joints.append(joints)
+        rep_lengths.append(np.asarray(lengths_arr))
+    dt = time.time() - t0
+    logger.info(f"generated {len(texts) * reps} motions in {dt:.2f}s "
+                f"({reps * sum(lengths) / dt:.1f} fps overall)")
+
+    out_dir = cfg.DEMO.get("OUT_DIR") or pjoin(cfg.get("FOLDER_EXP", "."),
+                                               "samples")
+    os.makedirs(out_dir, exist_ok=True)
+    for rep_i, (joints, lengths_np) in enumerate(zip(rep_joints, rep_lengths)):
+        suffix = f"_rep{rep_i}" if rep_i else ""
+        for i, text in enumerate(texts):
+            L = int(lengths_np[i])
+            np.save(pjoin(out_dir, f"sample_{i:03d}{suffix}.npy"),
+                    joints[i, :L])
+            with open(pjoin(out_dir, f"sample_{i:03d}{suffix}.txt"),
+                      "w") as f:
+                f.write(text + "\n")
+    if outall:
+        # [nsample, nrep, T, J, 3] grouped output + one txt of captions
+        combined = np.stack(rep_joints, axis=1)
+        np.save(pjoin(out_dir, f"{task}_all.npy"), combined)
+        with open(pjoin(out_dir, f"{task}_all.txt"), "w") as f:
+            for _ in range(reps):
+                for text in texts:
+                    f.write(text + "\n")
+        logger.info(f"saved grouped output {combined.shape} to "
+                    f"{pjoin(out_dir, task + '_all.npy')}")
+    logger.info(f"saved {len(texts) * reps} samples to {out_dir}")
+
+
+def _generate_once(cfg, system, params, rng, cond, uncond, texts,
+                   lengths_arr, pairs, task, latentwise, logger,
+                   jax, jnp, np, latent_valid_mask, plot_att_allowed=True):
     if task == "random_latent":
         # sample z ~ N(0, I) with the per-length active mask
         # (reference demo task "random_sampling")
@@ -116,7 +169,7 @@ def main():
         mask = (keep <= step) if latentwise == "fw" else (keep >= M - 1 - step)
         base_valid = latent_valid_mask(lengths_arr, system.frame_per_latent, M)
         z = jnp.where((mask & base_valid)[:, :, None], z, 0.0)
-    plot_att = bool(cfg.DEMO.get("PLOT_ATT_MAP", False))
+    plot_att = bool(cfg.DEMO.get("PLOT_ATT_MAP", False)) and plot_att_allowed
     out = system.vae.apply(
         {"params": params["vae"]}, z, lengths_arr,
         nframes=system.max_frames, deterministic=True,
@@ -143,20 +196,7 @@ def main():
     else:
         feats = out
     joints = jax.device_get(system.feats2joints(feats))
-    dt = time.time() - t0
-    logger.info(f"generated {len(texts)} motions in {dt:.2f}s "
-                f"({sum(lengths) / dt:.1f} fps overall)")
-
-    out_dir = cfg.DEMO.get("OUT_DIR") or pjoin(cfg.get("FOLDER_EXP", "."),
-                                               "samples")
-    os.makedirs(out_dir, exist_ok=True)
-    lengths_np = np.asarray(lengths_arr)
-    for i, text in enumerate(texts):
-        L = int(lengths_np[i])
-        np.save(pjoin(out_dir, f"sample_{i:03d}.npy"), joints[i, :L])
-        with open(pjoin(out_dir, f"sample_{i:03d}.txt"), "w") as f:
-            f.write(text + "\n")
-    logger.info(f"saved {len(texts)} samples to {out_dir}")
+    return joints, texts, lengths_arr
 
 
 if __name__ == "__main__":

@@ -253,6 +253,11 @@ def parse_args(phase: str = "train", argv: list[str] | None = None) -> ConfigNod
         parser.add_argument("--out_dir", type=str, default=None)
         parser.add_argument("--latentwise_gen", type=str, default=None)
         parser.add_argument("--plot_att_map", action="store_true")
+        # reference demo flags (config.py:85-115): N generation passes per
+        # prompt; --allinone additionally groups them into one npy
+        parser.add_argument("--replication", type=int, default=1)
+        parser.add_argument("--allinone", action="store_true")
+        parser.add_argument("--frame_rate", type=float, default=None)
     if phase == "test":
         parser.add_argument("--replication", type=int, default=None)
     args = parser.parse_args(argv)
@@ -277,6 +282,9 @@ def parse_args(phase: str = "train", argv: list[str] | None = None) -> ConfigNod
             "OUT_DIR": args.out_dir,
             "LATENTWISE_GEN": args.latentwise_gen,
             "PLOT_ATT_MAP": bool(getattr(args, "plot_att_map", False)),
+            "REPLICATION": int(getattr(args, "replication", 1) or 1),
+            "OUTALL": bool(getattr(args, "allinone", False)),
+            "FRAME_RATE": getattr(args, "frame_rate", None),
         })
     # DEBUG mode semantics (reference: config.py:224-227)
     if cfg.get("DEBUG", False):
