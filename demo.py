@@ -48,7 +48,6 @@ def main():
     from ladiff_tpu.training.loop import CaptionEmbedder, build_system
     from ladiff_tpu.utils.checkpoint import CheckpointManager, latest_checkpoint
     from ladiff_tpu.utils.logger import create_logger
-    from ladiff_tpu.utils.masks import latent_valid_mask
 
     cfg = parse_args("demo")
     logger = create_logger(cfg, phase="demo")
@@ -99,8 +98,8 @@ def main():
         lengths_arr = jnp.asarray(np.array(lengths, np.int32))
         joints, texts, lengths_arr = _generate_once(
             cfg, system, params, rng, cond, uncond, texts, lengths_arr,
-            pairs, task, latentwise, logger, jax, jnp, np,
-            latent_valid_mask, plot_att_allowed=(rep_i == 0))
+            pairs, task, latentwise, logger,
+            plot_att_allowed=(rep_i == 0))
         rep_joints.append(joints)
         rep_lengths.append(np.asarray(lengths_arr))
     dt = time.time() - t0
@@ -120,9 +119,13 @@ def main():
                       "w") as f:
                 f.write(text + "\n")
     if outall:
-        # [nsample, nrep, T, J, 3] grouped output + one txt of captions
-        combined = np.stack(rep_joints, axis=1)
+        # [nsample, nrep, T<=max(lengths), J, 3] grouped output + captions
+        # + a lengths npy so consumers can trim per sample (the reference's
+        # grouped file keeps untrimmed frames and crashes on mixed lengths)
+        lengths_np = rep_lengths[0]
+        combined = np.stack(rep_joints, axis=1)[:, :, :int(lengths_np.max())]
         np.save(pjoin(out_dir, f"{task}_all.npy"), combined)
+        np.save(pjoin(out_dir, f"{task}_all_lengths.npy"), lengths_np)
         with open(pjoin(out_dir, f"{task}_all.txt"), "w") as f:
             for _ in range(reps):
                 for text in texts:
@@ -134,15 +137,20 @@ def main():
 
 def _generate_once(cfg, system, params, rng, cond, uncond, texts,
                    lengths_arr, pairs, task, latentwise, logger,
-                   jax, jnp, np, latent_valid_mask, plot_att_allowed=True):
+                   plot_att_allowed=True):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ladiff_tpu.utils.masks import latent_valid_mask
+
     if task == "random_latent":
         # sample z ~ N(0, I) with the per-length active mask
         # (reference demo task "random_sampling")
-        from ladiff_tpu.utils.masks import latent_valid_mask as lvm
         z = jax.random.normal(
             rng, (len(texts), system.max_it, system.latent_dim[-1]))
-        z = jnp.where(lvm(lengths_arr, system.frame_per_latent,
-                          system.max_it)[:, :, None], z, 0.0)
+        z = jnp.where(latent_valid_mask(lengths_arr, system.frame_per_latent,
+                                        system.max_it)[:, :, None], z, 0.0)
     elif task == "reconstruction":
         # encode+decode a provided motion npy (reference recon_from_motion,
         # ladiff.py:320-331); expects --example pointing at a .npy features

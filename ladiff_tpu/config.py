@@ -276,7 +276,7 @@ def parse_args(phase: str = "train", argv: list[str] | None = None) -> ConfigNod
         if getattr(args, "replication", None):
             cfg.TEST.REPLICATION_TIMES = args.replication
     if phase == "demo":
-        cfg.DEMO = merge(cfg.get("DEMO", ConfigNode()), {
+        demo_over = {
             "EXAMPLE": args.example,
             "TASK": args.task,
             "OUT_DIR": args.out_dir,
@@ -284,8 +284,11 @@ def parse_args(phase: str = "train", argv: list[str] | None = None) -> ConfigNod
             "PLOT_ATT_MAP": bool(getattr(args, "plot_att_map", False)),
             "REPLICATION": int(getattr(args, "replication", 1) or 1),
             "OUTALL": bool(getattr(args, "allinone", False)),
-            "FRAME_RATE": getattr(args, "frame_rate", None),
-        })
+        }
+        # only override the yaml FRAME_RATE when the flag is given
+        if getattr(args, "frame_rate", None) is not None:
+            demo_over["FRAME_RATE"] = float(args.frame_rate)
+        cfg.DEMO = merge(cfg.get("DEMO", ConfigNode()), demo_over)
     # DEBUG mode semantics (reference: config.py:224-227)
     if cfg.get("DEBUG", False):
         cfg.NAME = "debug--" + str(cfg.get("NAME", "exp"))

@@ -143,8 +143,9 @@ def run_training(cfg, dm: T2MDataModule, logger,
     ckpt = CheckpointManager(ckpt_dir)
 
     # TRAIN.RNG_IMPL=rbg swaps the dropout/noise PRNG to the TPU-fast
-    # counter-based generator: threefry random-bit generation is ALU-bound
-    # and costs ~36% of the VAE step (132 -> 99.5 ms/step measured, PERF.md)
+    # counter-based generator: threefry bit generation alone is ~25% of the
+    # VAE step (132 -> 99.5 ms/step measured; dropout in total, bits + mask
+    # multiplies, is ~36% — see the breakdown table in PERF.md)
     impl = {"threefry": "threefry2x32", "rbg": "rbg",
             "unsafe_rbg": "unsafe_rbg"}[
         str(cfg.TRAIN.get("RNG_IMPL", "threefry"))]

@@ -63,18 +63,6 @@ def main():
     overhead = (time.perf_counter() - t0) / 10
     print(f"# no-op round trip: {overhead * 1e3:.2f} ms")
 
-    @jax.jit
-    def sample_only(params, rng):
-        z = system.diffusion_reverse(params["denoiser"], text_cond,
-                                     text_uncond, lengths, rng)
-        return jnp.float32(jnp.sum(z))
-
-    @jax.jit
-    def full(params, rng):
-        feats, _ = system.generate(params, text_cond, text_uncond, lengths,
-                                   rng, nframes=FRAMES)
-        return jnp.float32(jnp.sum(feats))
-
     # scan-amortized (K back-to-back batches inside one jit): the per-call
     # relay dispatch spreads over K, so stage sums match the steady-state
     # bench.py protocol instead of under-reading by the dispatch wobble
@@ -112,13 +100,17 @@ def main():
     if "--sweep" in sys.argv:
         # decode block_samples sweep under the scan-amortized protocol
         # (the original per-call sweep was polluted by dispatch wobble)
+        prev_bb = os.environ.get("LADIFF_DECODE_BLOCK")
         for bb in (1, 2, 4):
             os.environ["LADIFF_DECODE_BLOCK"] = str(bb)
             t = timeit(scanned(decode_body), params, rng0, iters=2,
                        overhead=overhead) / K
             print(json.dumps({"stage": f"decode_bb{bb}",
                               "ms_per_batch": round(t * 1e3, 2)}))
-        del os.environ["LADIFF_DECODE_BLOCK"]
+        if prev_bb is None:
+            del os.environ["LADIFF_DECODE_BLOCK"]
+        else:
+            os.environ["LADIFF_DECODE_BLOCK"] = prev_bb
         return
 
     t_sample = timeit(sample_many, params, rng0, iters=2,

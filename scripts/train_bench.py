@@ -145,7 +145,9 @@ def vae_breakdown(system, vae_params, batch, rng, args, overhead):
     from ladiff_tpu.losses.mld import vae_loss, smooth_l1
 
     # the train=False variants differentiate through deterministic forward
-    # passes, which would otherwise pick the fused Pallas kernels (no VJP)
+    # passes, which would otherwise pick the fused Pallas kernels (no VJP);
+    # restore the caller's value afterwards (it is a documented A/B knob)
+    prev_disable = os.environ.get("LADIFF_DISABLE_PALLAS")
     os.environ["LADIFF_DISABLE_PALLAS"] = "1"
 
     feats = batch["motion"]
@@ -234,7 +236,10 @@ def vae_breakdown(system, vae_params, batch, rng, args, overhead):
         dt = (time.perf_counter() - t0 - overhead) / args.iters
         print(json.dumps({"variant": name,
                           "ms": round(dt * 1e3, 2)}))
-    del os.environ["LADIFF_DISABLE_PALLAS"]
+    if prev_disable is None:
+        del os.environ["LADIFF_DISABLE_PALLAS"]
+    else:
+        os.environ["LADIFF_DISABLE_PALLAS"] = prev_disable
 
 
 if __name__ == "__main__":
