@@ -12,7 +12,7 @@ samples/s counters as scripts/breakdown.py.
 Trace capture may be unavailable over the axon relay (remote device);
 the script then still reports host-side stage timings and says so.
 
-Usage:  python scripts/profile.py [--out /tmp/ladiff_trace] [--batch 256]
+Usage:  python scripts/profile_trace.py [--out /tmp/ladiff_trace] [--batch 256]
 """
 from __future__ import annotations
 

@@ -1,16 +1,27 @@
 """plys2npy collector: PLY parsing, natural sort, _gt exclusion."""
 import os
 import struct
-import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+def _load_plys2npy():
+    """Import scripts/plys2npy.py by path.  Deliberately NOT via
+    sys.path.insert at module level: pytest imports every test module at
+    collection time, and scripts/ on sys.path shadowed the stdlib
+    ``profile`` module, breaking later ``transformers`` torch-model
+    imports suite-wide (GenerationMixin ImportError)."""
+    import importlib.util
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "plys2npy.py")
+    spec = importlib.util.spec_from_file_location("ladiff_plys2npy", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def test_plys2npy_binary_ascii_and_filters(tmp_path):
-    from plys2npy import plys2npy
+    plys2npy = _load_plys2npy().plys2npy
 
     seq = tmp_path / "SMPLFit_testseq"
     seq.mkdir()
