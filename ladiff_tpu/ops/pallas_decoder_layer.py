@@ -6,13 +6,17 @@ and the LN-FFN-LN tail — all with activations resident in VMEM, blocked
 over samples.  Decode was measured at its HBM roofline (~21 ms/batch-256)
 with ~5x compute headroom; fusing removes the per-op HBM round trips.
 
-Attention layout trick: per-head q/k live in 128-lane-aligned slots
-(head h occupies lanes [h*128, h*128+Dh) of a [*, H*128] tensor, upper
-lanes zero) — the per-head score GEMMs then slice at legal 128-lane
-boundaries with a K=128 contraction instead of masked full-D GEMMs
-(half the MXU passes of the lane-mask trick in pallas_md_layer).  The
-projection weights are remapped to this layout outside the kernel
-(zero-filled columns; exact same math).
+Attention layout trick: per-head q/k — and, for self-attention, values
+too — live in 128-lane-aligned slots (head h occupies lanes
+[h*128, h*128+Dh) of a [*, H*128] tensor, upper lanes zero) — the
+per-head score AND value GEMMs then slice at legal 128-lane boundaries
+with a 128-wide head dimension instead of masked full-D GEMMs (half the
+MXU passes of the lane-mask trick in pallas_md_layer on both sides of
+the softmax).  The projection weights are remapped to this layout
+outside the kernel (zero-filled columns for wq/wk/wv, zero-filled ROWS
+for the out projection; exact same math).  Cross-attention keeps the
+lane-masked value path: its keys number <=MAX_IT, so slot values would
+cost more in the doubled out-proj than they save.
 
 Equivalent to TransformerDecoderLayer's post-norm XLA path (reference
 cross_attention.py:332-450); verified in tests/test_pallas_fused.py.
@@ -44,6 +48,18 @@ def pad_head_columns(w: jax.Array, H: int, Dh: int) -> jax.Array:
     return jnp.concatenate(parts, axis=-1)
 
 
+def pad_head_rows(w: jax.Array, H: int, Dh: int) -> jax.Array:
+    """[H*Dh, D] -> [H*128, D]: row block h moves to rows [h*128, h*128+Dh),
+    zero rows elsewhere — the out-projection counterpart of
+    ``pad_head_columns`` for context vectors kept in head slots."""
+    parts = []
+    zeros = jnp.zeros((128 - Dh,) + w.shape[1:], w.dtype)
+    for h in range(H):
+        parts.append(w[h * Dh:(h + 1) * Dh])
+        parts.append(zeros)
+    return jnp.concatenate(parts, axis=0)
+
+
 def _heads_attention(q_pad, k_pad, v, bias, H, Dh, dtype):
     """Per-head attention with 128-lane-aligned head slots.
     q_pad [M, H*128], k_pad [K, H*128], v [K, D]; returns ctx [M, D] f32."""
@@ -60,6 +76,23 @@ def _heads_attention(q_pad, k_pad, v, bias, H, Dh, dtype):
         hm = (lane == h).astype(jnp.float32)
         ctx = ctx + _dot(w, v) * hm
     return ctx
+
+
+def _heads_attention_slots(q_pad, k_pad, v_pad, bias, H, Dh, dtype):
+    """Like _heads_attention, but VALUES also live in 128-lane head slots
+    (v_pad [K, H*128], zero lanes outside each head's Dh), so every value
+    GEMM contracts only the head's slot instead of masked full-D — half
+    the value FLOPs for Dh=64.  Returns ctx in slot layout [M, H*128] f32
+    (zero lanes preserved); pair with a pad_head_rows-remapped out proj."""
+    scale = 1.0 / (Dh ** 0.5)
+    outs = []
+    for h in range(H):
+        qh = q_pad[:, h * 128:(h + 1) * 128]
+        kh = k_pad[:, h * 128:(h + 1) * 128]
+        s = _dot_t(qh, kh) * scale + bias
+        w = jax.nn.softmax(s, axis=-1).astype(dtype)
+        outs.append(_dot(w, v_pad[:, h * 128:(h + 1) * 128]))
+    return jnp.concatenate(outs, axis=1)
 
 
 def _kernel(x_ref, kvalid_ref, mem_ref, mvalid_ref,
@@ -83,6 +116,7 @@ def _kernel(x_ref, kvalid_ref, mem_ref, mvalid_ref,
     qk = _dot(x, sa_wqk_ref[...]) + sa_bqk_ref[...].astype(jnp.float32)
     q_pad = qk[:, :H * 128].astype(dtype)
     k_pad = qk[:, H * 128:].astype(dtype)
+    # values in head slots too ([M, H*128], wv pre-remapped outside)
     v = (_dot(x, sa_wv_ref[...])
          + sa_bv_ref[...].astype(jnp.float32)).astype(dtype)
 
@@ -90,7 +124,8 @@ def _kernel(x_ref, kvalid_ref, mem_ref, mvalid_ref,
     same = rq == rq.reshape(1, M)
     kval = kvalid_ref[...].astype(jnp.float32).reshape(1, M)
     bias = jnp.where(same & (kval > 0.5), 0.0, _NEG_INF)
-    ctx = _heads_attention(q_pad, k_pad, v, bias, H, Dh, dtype)
+    ctx = _heads_attention_slots(q_pad, k_pad, v, bias, H, Dh, dtype)
+    # out proj is pad_head_rows-remapped to the slot layout [H*128, D]
     attn = _dot(ctx.astype(dtype), sa_wout_ref[...]) \
         + sa_bout_ref[...].astype(jnp.float32)
     t1 = _ln(x.astype(jnp.float32) + attn,
@@ -179,6 +214,11 @@ def fused_decoder_layer(
     sa_bq = pad_head_columns(c(sa["in_proj_bias"][:D]), H, Dh)
     sa_bk = pad_head_columns(c(sa["in_proj_bias"][D:2 * D]), H, Dh)
     sa_bqk = jnp.concatenate([sa_bq, sa_bk], axis=-1)
+    # self-attn VALUES in head slots as well: wv gets padded columns and
+    # the out projection padded rows (zero slots contract to zero)
+    sa_wv = pad_head_columns(c(sa["in_proj_kernel"][:, 2 * D:]), H, Dh)
+    sa_bv = pad_head_columns(c(sa["in_proj_bias"][2 * D:]), H, Dh)
+    sa_wout = pad_head_rows(c(sa["out_proj"]["kernel"]), H, Dh)
     ca_wq = pad_head_columns(c(ca["in_proj_kernel"][:, :D]), H, Dh)
     ca_bq = pad_head_columns(c(ca["in_proj_bias"][:D]), H, Dh)
     ca_wk = pad_head_columns(c(ca["in_proj_kernel"][:, D:2 * D]), H, Dh)
@@ -203,8 +243,8 @@ def fused_decoder_layer(
             latm,
             pl.BlockSpec((Bb * L, 1), rows, memory_space=pltpu.VMEM),
             w((D, 2 * HP)), w((1, 2 * HP)),       # sa q/k (padded heads)
-            w((D, D)), w((1, D)),                 # sa v
-            w((D, D)), w((1, D)), w((1, D)), w((1, D)),  # sa out + ln1
+            w((D, HP)), w((1, HP)),               # sa v (head slots)
+            w((HP, D)), w((1, D)), w((1, D)), w((1, D)),  # sa out + ln1
             w((D, HP)), w((1, HP)), w((D, HP)), w((1, HP)),  # ca q/k
             w((D, D)), w((1, D)), w((D, D)), w((1, D)),      # ca v/out
             w((D, F)), w((1, F)), w((F, D)), w((1, D)),      # ffn
@@ -216,8 +256,8 @@ def fused_decoder_layer(
         x, kvalid.astype(jnp.float32), mem.astype(dtype),
         mvalid.astype(jnp.float32),
         sa_wqk, vec(sa_bqk),
-        c(sa["in_proj_kernel"][:, 2 * D:]), vec(c(sa["in_proj_bias"][2 * D:])),
-        c(sa["out_proj"]["kernel"]), vec(c(sa["out_proj"]["bias"])),
+        sa_wv, vec(sa_bv),
+        sa_wout, vec(c(sa["out_proj"]["bias"])),
         vec(params["norm1"]["scale"]), vec(params["norm1"]["bias"]),
         ca_wq, vec(ca_bq), ca_wk, vec(ca_bk),
         c(ca["in_proj_kernel"][:, 2 * D:]), vec(c(ca["in_proj_bias"][2 * D:])),
