@@ -1,0 +1,514 @@
+"""End-to-end reported-metric-NUMBER parity against the reference pipeline.
+
+Round-1 parity-tested every stage (modules, evaluators, FID math) but never
+matched an end-to-end *metric number*.  This harness closes that gap: both
+sides consume identical synthetic batches, identical converted random
+weights, identical sampling noise, and identical shuffle/diversity index
+draws; then
+
+  * the reference side replicates ``t2m_eval``
+    (/root/reference/src/ladiff/models/modeltype/ladiff.py:1111-1282) and
+    ``TM2TMetrics.compute`` (/root/reference/src/ladiff/models/metrics/
+    tm2t.py:77-156) verbatim, driving the actual reference torch modules
+    (LADiffVae, LADiffDenoiser, t2m_motionenc/t2m_textenc) and the
+    reference metric utils loaded from file;
+  * our side runs the production ``test.run_test`` driver end-to-end
+    (sharded eval step over the CPU mesh + our TM2TMetrics).
+
+and the final FID / R-precision / Matching / Diversity numbers must agree.
+
+Alignment choices (all are *test-harness* choices, not behavior deltas):
+  * The epoch-end shuffle is an arbitrary permutation in both codebases
+    (torch.randperm there, seeded numpy here); we pin BOTH sides to the
+    identity permutation over loader order — the reference's per-batch
+    length-desc sort (ladiff.py:1256-1262, a pack_padded_sequence
+    requirement) is inverted on the torch side before accumulation, which
+    is a pure relabeling because align_idx is applied to all three
+    embedding sets consistently.
+  * Diversity index draws come from identically seeded RandomState streams.
+  * DDIM initial noise / posterior samples are reconstructed from the same
+    jax PRNG chain run_test uses and injected into the torch side (the
+    reference's torch.randn / dist.rsample draws are RNG-backend choices,
+    not math).
+
+Known bounded numeric delta (documented in evaluation/t2m_eval.py): our
+static MAX_LEN padding vs the reference's batch-max padding makes the LAST
+movement-conv frame of each batch's longest sample read conv zero-padding
+(reference) where ours reads renormed static padding.  Only batch-max rows
+are affected; tolerances below absorb it (measured ~1e-3 embedding-level).
+"""
+import importlib.util
+import sys
+import types
+import zlib
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+for _name in ("clip",):
+    sys.modules.setdefault(_name, types.ModuleType(_name))
+if "/root/reference/src" not in sys.path:
+    sys.path.insert(0, "/root/reference/src")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+# -- shared tiny geometry ---------------------------------------------------
+NFEATS, NJOINTS = 263, 22
+MAX_LEN = 64
+BS = 8
+MAX_IT, FPL = 4, 16
+LAT_D = 32
+FF, LAYERS, HEADS = 64, 3, 4  # skip-transformer requires odd num_layers
+TEXT_D = 48  # != LAT_D so the reference denoiser instantiates emb_proj
+EV_MOVE_H, EV_MOVE_O = 32, 32            # movement conv hidden/out
+EV_MOT_H, EV_OUT = 64, 16                # motion GRU hidden, embedding dim
+EV_TXT_H = 32                            # text GRU hidden
+N_STEPS = 5                              # DDIM inference steps
+SEED_VALUE = 1234
+DIV_TIMES = 30
+DIV_SEED = 777
+
+
+class _Ablation:
+    MLP_DIST = False
+    PE_TYPE = "mld"
+    DIFF_PE_TYPE = "mld"
+    DVAE = False
+    PERCENTAGE_NOISED = 0.0
+    MAX_IT = MAX_IT
+    FRAME_PER_LATENT = FPL
+    JOINT_DISTRO_FIX = False
+    LAD = True
+    TEST_EFFICIENCY = False
+    SKIP_CONNECT = True
+    VAE_TYPE = "ladiff"
+    IDEA = "ard"
+    MD_TRANS = True
+
+
+def _load_reference_metric_utils():
+    """Load /root/reference/src/ladiff/models/metrics/utils.py standalone
+    (the package __init__ pulls torchmetrics, absent in this image)."""
+    spec = importlib.util.spec_from_file_location(
+        "_ref_metric_utils", "/root/reference/src/ladiff/models/metrics/utils.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _StubTextEncoder:
+    """Deterministic caption -> [1, TEXT_D] embedding (process-independent)."""
+
+    def __call__(self, texts):
+        out = []
+        for t in texts:
+            rs = np.random.RandomState(zlib.crc32(t.encode()) % (2 ** 31))
+            out.append(rs.randn(1, TEXT_D).astype(np.float32) * 0.5)
+        return np.stack(out)
+
+
+class _RigidRng:
+    """np.random.RandomState stand-in: fixed permutation + seeded choices."""
+
+    def __init__(self, perm, seed=DIV_SEED):
+        self._perm = np.asarray(perm)
+        self._rs = np.random.RandomState(seed)
+
+    def permutation(self, n):
+        assert n == len(self._perm), (n, len(self._perm))
+        return self._perm
+
+    def choice(self, *args, **kwargs):
+        return self._rs.choice(*args, **kwargs)
+
+
+# -- fixture: everything both sides share -----------------------------------
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    from ladiff_tpu.data.datamodule import T2MDataModule
+    from ladiff_tpu.data.synthetic import generate_synthetic_dataset
+    from ladiff_tpu.data.word_vectorizer import build_word_vectorizer
+    from ladiff_tpu.evaluation.t2m_eval import T2MEvaluator
+    from ladiff_tpu.models.evaluators import (MotionEncoderBiGRUCo,
+                                              MovementConvEncoder,
+                                              TextEncoderBiGRUCo)
+    from ladiff_tpu.utils.checkpoint import (
+        load_reference_denoiser_checkpoint, load_reference_vae_checkpoint)
+    from ladiff.models.architectures.ladiff_denoiser import LADiffDenoiser
+    from ladiff.models.architectures.ladiff_vae import LADiffVae
+    from ladiff.models.architectures.t2m_motionenc import (
+        MotionEncoderBiGRUCo as RefMotionEnc,
+        MovementConvEncoder as RefMovementEnc)
+    from ladiff.models.architectures.t2m_textenc import (
+        TextEncoderBiGRUCo as RefTextEnc)
+
+    tmp = tmp_path_factory.mktemp("eval_parity")
+    root = generate_synthetic_dataset(
+        str(tmp / "data"), n_clips=400, nfeats=NFEATS, min_len=40,
+        max_len=67, seed=11)
+    dm = T2MDataModule(
+        name="humanml3d", data_root=root,
+        w_vectorizer=build_word_vectorizer(None),
+        batch_size=BS, max_motion_length=MAX_LEN, seed=SEED_VALUE)
+    batches = list(dm.loader("test", batch_size=BS, shuffle=True, seed=0))
+    n_seq = sum(len(b["text"]) for b in batches)
+    assert n_seq == 40 and all(len(b["text"]) == BS for b in batches)
+
+    # reference torch modules, random-init, converted through our loaders
+    torch.manual_seed(0)
+    ref_vae = LADiffVae(
+        ablation=_Ablation(), nfeats=NFEATS, latent_dim=[MAX_IT, LAT_D],
+        ff_size=FF, num_layers=LAYERS, num_heads=HEADS, dropout=0.0,
+        arch="encoder_decoder", position_embedding="learned").eval()
+    ref_den = LADiffDenoiser(
+        ablation=_Ablation(), nfeats=NFEATS, condition="text",
+        latent_dim=[MAX_IT, LAT_D], ff_size=FF, num_layers=LAYERS,
+        num_heads=HEADS, dropout=0.0, arch="trans_enc",
+        text_encoded_dim=TEXT_D, position_embedding="learned").eval()
+    ref_move = RefMovementEnc(NFEATS - 4, EV_MOVE_H, EV_MOVE_O).eval()
+    ref_motion = RefMotionEnc(EV_MOVE_O, EV_MOT_H, EV_OUT).eval()
+    ref_text = RefTextEnc(300, 15, EV_TXT_H, EV_OUT).eval()
+
+    vae_ckpt = str(tmp / "vae.ckpt")
+    torch.save({"state_dict": {("vae." + k): v
+                               for k, v in ref_vae.state_dict().items()}},
+               vae_ckpt)
+    den_ckpt = str(tmp / "den.ckpt")
+    torch.save({"state_dict": {("denoiser." + k): v
+                               for k, v in ref_den.state_dict().items()}},
+               den_ckpt)
+    finest = str(tmp / "finest.tar")
+    torch.save({"text_encoder": ref_text.state_dict(),
+                "movement_encoder": ref_move.state_dict(),
+                "motion_encoder": ref_motion.state_dict()}, finest)
+
+    params = {
+        "vae": jax.tree.map(
+            jnp.asarray, load_reference_vae_checkpoint(vae_ckpt, LAYERS)),
+        "denoiser": jax.tree.map(
+            jnp.asarray,
+            load_reference_denoiser_checkpoint(den_ckpt, LAYERS,
+                                               md_trans=True)),
+    }
+    evaluator = T2MEvaluator.from_checkpoint(finest, NFEATS)
+    assert evaluator is not None
+    evaluator.movement = MovementConvEncoder(hidden_size=EV_MOVE_H,
+                                             output_size=EV_MOVE_O)
+    evaluator.motion = MotionEncoderBiGRUCo(hidden_size=EV_MOT_H,
+                                            output_size=EV_OUT)
+    evaluator.text = TextEncoderBiGRUCo(hidden_size=EV_TXT_H,
+                                        output_size=EV_OUT)
+
+    return dict(tmp=tmp, dm=dm, batches=batches, n_seq=n_seq, params=params,
+                evaluator=evaluator, ref_vae=ref_vae, ref_den=ref_den,
+                ref_move=ref_move, ref_motion=ref_motion, ref_text=ref_text,
+                embedder_stub=_StubTextEncoder(),
+                ref_utils=_load_reference_metric_utils())
+
+
+def _make_cfg(env, stage):
+    from ladiff_tpu.config import assemble_config
+    overrides = {
+        "NAME": "parity", "DEBUG": False, "SEED_VALUE": SEED_VALUE,
+        "FOLDER_EXP": str(env["tmp"] / f"exp_{stage}"),
+        "TRAIN": {"STAGE": stage, "MIXED_PRECISION": False,
+                  "ABLATION": {"MAX_IT": MAX_IT, "FRAME_PER_LATENT": FPL}},
+        "TEST": {"BATCH_SIZE": BS, "REPLICATION_TIMES": 1,
+                 "DIVERSITY_TIMES": DIV_TIMES, "CHECKPOINTS": "",
+                 "MM_NUM_REPEATS": 2, "MM_NUM_TIMES": 100,
+                 "MM_NUM_SAMPLES": 2},
+        "METRIC": {"TYPE": ["TM2TMetrics"]},
+        "DATASET": {"SAMPLER": {"MAX_LEN": MAX_LEN}},
+        "model": {"ff_size": FF, "num_layers": LAYERS, "num_head": HEADS,
+                  "droupout": 0.0, "latent_dim": [MAX_IT, LAT_D],
+                  "t2m_path": "", "clip_path": "",
+                  "denoiser": {"params": {"text_encoded_dim": TEXT_D}},
+                  "scheduler": {"num_inference_timesteps": N_STEPS}},
+    }
+    (env["tmp"] / f"exp_{stage}").mkdir(exist_ok=True)
+    return assemble_config("configs/config_ladiff_humanml3d.yaml",
+                           "configs/assets.yaml", overrides)
+
+
+def _run_ours(env, cfg, monkeypatch):
+    """Run the production run_test driver on the stored batches; returns
+    (summary-number dict, captured TM2TMetrics instance)."""
+    import logging
+    from pathlib import Path
+
+    from ladiff_tpu.metrics.tm2t import TM2TMetrics
+
+    # load the repo-root test.py by path ("import test" would resolve to the
+    # reference's test.py via the sys.path entry added for parity imports)
+    spec = importlib.util.spec_from_file_location(
+        "_repo_test_entry", str(Path(__file__).resolve().parents[1] / "test.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    run_test = entry.run_test
+
+    created = []
+    n_seq = env["n_seq"]
+
+    class _Patched(TM2TMetrics):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self.rng = _RigidRng(np.arange(n_seq))
+            created.append(self)
+
+    monkeypatch.setattr("ladiff_tpu.metrics.tm2t.TM2TMetrics", _Patched)
+
+    calls = {"n": 0}
+
+    def loader_stub(split, batch_size=None, shuffle=None, seed=None, **kw):
+        calls["n"] += 1
+        return iter(env["batches"] if calls["n"] == 1 else [])
+
+    monkeypatch.setattr(env["dm"], "loader", loader_stub)
+
+    logger = logging.getLogger("eval_parity")
+    logger.addHandler(logging.NullHandler())
+    summary = run_test(cfg, logger, datamodule=env["dm"],
+                       text_encoder=env["embedder_stub"],
+                       params=env["params"], evaluator=env["evaluator"])
+    assert len(created) == 1
+    return {k: m for k, (m, c) in summary.items()}, created[0]
+
+
+def _step_rngs(n):
+    """Reproduce run_test's per-batch PRNG chain."""
+    rng = jax.random.PRNGKey(SEED_VALUE)
+    out = []
+    for _ in range(n):
+        rng, s = jax.random.split(rng)
+        out.append(s)
+    return out
+
+
+# -- torch-side reference replica -------------------------------------------
+
+def _ddim_alphas_cumprod():
+    betas = np.linspace(0.00085 ** 0.5, 0.012 ** 0.5, 1000,
+                        dtype=np.float64) ** 2
+    return np.cumprod(1.0 - betas).astype(np.float32)
+
+
+def _torch_diffusion_reverse(env, cond_emb, lengths, latents0):
+    """_diffusion_reverse non-AR LAD branch (ladiff.py:379-502) with the
+    initial noise injected; returns z [max_it, B, D] (reference layout)."""
+    ref_den = env["ref_den"]
+    B = cond_emb.shape[0] // 2
+    acp = torch.tensor(_ddim_alphas_cumprod())
+    mie = torch.ceil(torch.tensor(lengths) / FPL).to(torch.long)
+    latents = torch.tensor(np.array(latents0))
+    for i, m in enumerate(mie):
+        latents[i, m:] = 0
+    step_ratio = 1000 // N_STEPS
+    timesteps = ((np.arange(N_STEPS) * step_ratio).round()[::-1]
+                 .astype(np.int64) + 1)
+    guidance = 7.5
+    with torch.no_grad():
+        for t in timesteps:
+            model_in = torch.cat([latents] * 2)
+            eps = ref_den(
+                sample=model_in, timestep=torch.tensor(int(t)),
+                encoder_hidden_states=cond_emb,
+                enclat=None, lengths=list(lengths) * 2,
+                max_iter_elements=torch.cat([mie] * 2))[0]
+            eps_u, eps_c = eps.chunk(2)
+            eps = eps_u + guidance * (eps_c - eps_u)
+            t_prev = int(t) - step_ratio
+            a_t = acp[int(t)]
+            a_prev = acp[t_prev] if t_prev >= 0 else acp[0]  # alpha_to_one=F
+            x0 = (latents - torch.sqrt(1 - a_t) * eps) / torch.sqrt(a_t)
+            latents = torch.sqrt(a_prev) * x0 + torch.sqrt(1 - a_prev) * eps
+    return latents.permute(1, 0, 2)
+
+
+def _torch_t2m_eval(env, batch, stage, step_rng, cond_np):
+    """Verbatim replica of t2m_eval (ladiff.py:1111-1282) on one batch,
+    returning (text_emb, recons_emb, motion_emb) RE-ORDERED back to loader
+    order (align_idx inversion, see module docstring)."""
+    dm = env["dm"]
+    motions_full = torch.tensor(batch["motion"])
+    lengths = [int(x) for x in batch["length"]]
+    B = len(lengths)
+    max_len_batch = max(lengths)
+    motions = motions_full[:, :max_len_batch]
+
+    with torch.no_grad():
+        if stage == "diffusion":
+            uncond_np = env["embedder_stub"]([""])[0][None]
+            text_emb = torch.tensor(np.concatenate(
+                [np.repeat(uncond_np, B, 0), cond_np], axis=0))
+            init_rng, _ = jax.random.split(step_rng)
+            latents0 = np.asarray(
+                jax.random.normal(init_rng, (B, MAX_IT, LAT_D), jnp.float32))
+            z = _torch_diffusion_reverse(env, text_emb, lengths, latents0)
+        else:
+            _, dist, mie = env["ref_vae"].encode(motions, lengths)
+            eps = np.asarray(jax.random.normal(
+                step_rng, (B, MAX_IT, LAT_D), jnp.float32))
+            z = dist.loc + dist.scale * torch.tensor(eps).permute(1, 0, 2)
+            for i, m in enumerate(mie):
+                z[m:, i] = 0
+        feats_rst = env["ref_vae"].decode(z, lengths)
+
+    # "ADDED BY ME" trim/pad block (ladiff.py:1219-1233)
+    feats_rst_new = torch.zeros((B, max_len_batch, feats_rst.shape[2]))
+    for i, L in enumerate(lengths):
+        if L <= feats_rst.shape[1]:
+            feats_rst_new[i, :L] = feats_rst[i, :L]
+        else:
+            pad = L - feats_rst.shape[1]
+            feats_rst_new[i, :L] = torch.cat(
+                [feats_rst[i], feats_rst[i, -1:].repeat(pad, 1)], dim=0)
+    feats_rst = feats_rst_new
+
+    # renorm4t2m (HumanML3D.py:57-65)
+    mean = torch.tensor(dm.mean)
+    std = torch.tensor(dm.std)
+    mean_ev = torch.tensor(dm.mean_eval)
+    std_ev = torch.tensor(dm.std_eval)
+    renorm = lambda f: (f * std + mean - mean_ev) / std_ev
+    feats_rst = renorm(feats_rst)
+    motions = renorm(motions)
+
+    # length-desc sort + unit_len division (ladiff.py:1251-1262)
+    m_lens = torch.tensor(lengths)
+    align_idx = np.argsort(m_lens.data.tolist())[::-1].copy()
+    motions = motions[align_idx]
+    feats_rst = feats_rst[align_idx]
+    m_lens = m_lens[align_idx]
+    m_lens = torch.div(m_lens, 4, rounding_mode="floor")
+
+    with torch.no_grad():
+        recons_mov = env["ref_move"](feats_rst[..., :-4])
+        recons_emb = env["ref_motion"](recons_mov, m_lens)
+        motion_mov = env["ref_move"](motions[..., :-4])
+        motion_emb = env["ref_motion"](motion_mov, m_lens)
+        text_emb = env["ref_text"](
+            torch.tensor(batch["word_embs"]), torch.tensor(batch["pos_ohot"]),
+            torch.tensor(batch["text_len"]))[align_idx]
+
+    inv = np.argsort(align_idx)  # back to loader order (pure relabeling)
+    return (text_emb.numpy()[inv], recons_emb.numpy()[inv],
+            motion_emb.numpy()[inv])
+
+
+def _torch_metrics_compute(env, texts, gens, gts):
+    """TM2TMetrics.compute replica (tm2t.py:86-156): identity shuffle over
+    loader order, reference math (loaded from the reference utils file),
+    RandomState(DIV_SEED) diversity draws."""
+    U = env["ref_utils"]
+    all_texts = torch.tensor(np.concatenate(texts, axis=0))
+    all_gen = torch.tensor(np.concatenate(gens, axis=0))
+    all_gt = torch.tensor(np.concatenate(gts, axis=0))
+    count_seq = all_texts.shape[0]
+    R_size, top_k = 32, 3
+    out = {}
+
+    for tag, motions in (("", all_gen), ("gt_", all_gt)):
+        matching = torch.tensor(0.0)
+        top_k_mat = torch.zeros((top_k,))
+        for i in range(count_seq // R_size):
+            sl = slice(i * R_size, (i + 1) * R_size)
+            dist_mat = U.euclidean_distance_matrix(
+                all_texts[sl], motions[sl]).nan_to_num()
+            matching += dist_mat.trace()
+            argsmax = torch.argsort(dist_mat, dim=1)
+            top_k_mat += U.calculate_top_k(argsmax, top_k=top_k).sum(axis=0)
+        R_count = count_seq // R_size * R_size
+        out[tag + "Matching_score"] = float(matching / R_count)
+        for k in range(top_k):
+            out[f"{tag}R_precision_top_{k+1}"] = float(top_k_mat[k] / R_count)
+
+    gen_np, gt_np = all_gen.numpy(), all_gt.numpy()
+    mu, cov = U.calculate_activation_statistics_np(gen_np)
+    gt_mu, gt_cov = U.calculate_activation_statistics_np(gt_np)
+    out["FID"] = float(U.calculate_frechet_distance_np(gt_mu, gt_cov, mu, cov))
+
+    rs = np.random.RandomState(DIV_SEED)
+    for tag, act in (("", gen_np), ("gt_", gt_np)):
+        first = rs.choice(act.shape[0], DIV_TIMES, replace=False)
+        second = rs.choice(act.shape[0], DIV_TIMES, replace=False)
+        out[tag + "Diversity"] = float(
+            np.linalg.norm(act[first] - act[second], axis=1).mean())
+    return out
+
+
+def _run_reference(env, stage):
+    rngs = _step_rngs(len(env["batches"]))
+    texts, gens, gts = [], [], []
+    for batch, step_rng in zip(env["batches"], rngs):
+        cond_np = env["embedder_stub"](list(batch["text"]))
+        t, r, m = _torch_t2m_eval(env, batch, stage, step_rng, cond_np)
+        texts.append(t)
+        gens.append(r)
+        gts.append(m)
+    return _torch_metrics_compute(env, texts, gens, gts), (texts, gens, gts)
+
+
+# -- the tests --------------------------------------------------------------
+
+METRIC_KEYS = ["Matching_score", "gt_Matching_score", "FID", "Diversity",
+               "gt_Diversity", "R_precision_top_1", "R_precision_top_2",
+               "R_precision_top_3", "gt_R_precision_top_1",
+               "gt_R_precision_top_2", "gt_R_precision_top_3"]
+
+
+def _boundary_rows(batches):
+    """Global row indices of batch-max-length samples when that max is
+    below the static MAX_LEN — the only rows the static-padding delta
+    (module docstring) may touch."""
+    rows, off = [], 0
+    for b in batches:
+        lens = np.asarray(b["length"])
+        if lens.max() < MAX_LEN:
+            rows.extend(off + np.where(lens == lens.max())[0])
+        off += len(lens)
+    return np.asarray(rows, dtype=int)
+
+
+def _compare(env, ours, ref_nums, metrics_obj, ref_embs):
+    ref_texts, ref_gens, ref_gts = ref_embs
+    # embedding-level agreement first (diagnosable failure granularity)
+    np.testing.assert_allclose(
+        np.concatenate(metrics_obj.text_embeddings),
+        np.concatenate(ref_texts), atol=5e-4,
+        err_msg="text evaluator embeddings diverge")
+    boundary = _boundary_rows(env["batches"])
+    for ours_e, ref_e, what in (
+            (metrics_obj.gtmotion_embeddings, ref_gts, "gt"),
+            (metrics_obj.recmotion_embeddings, ref_gens, "generated")):
+        diff = np.abs(np.concatenate(ours_e) - np.concatenate(ref_e))
+        row_max = diff.max(axis=1)
+        bulk = np.delete(row_max, boundary)
+        assert bulk.max() < 1e-3, (
+            f"{what} motion embeddings diverge beyond the boundary rows "
+            f"(max {bulk.max()})")
+        assert row_max.max() < 0.1, (
+            f"{what} boundary-row delta larger than expected "
+            f"(max {row_max.max()})")
+    for k in METRIC_KEYS:
+        assert k in ours, f"{k} missing from run_test summary"
+        np.testing.assert_allclose(
+            ours[k], ref_nums[k], rtol=2e-2, atol=2e-3,
+            err_msg=f"metric {k}: ours={ours[k]} reference={ref_nums[k]}")
+
+
+def test_vae_stage_numbers_match(env, monkeypatch):
+    cfg = _make_cfg(env, "vae")
+    ours, metrics_obj = _run_ours(env, cfg, monkeypatch)
+    ref_nums, ref_embs = _run_reference(env, "vae")
+    _compare(env, ours, ref_nums, metrics_obj, ref_embs)
+
+
+def test_diffusion_stage_numbers_match(env, monkeypatch):
+    cfg = _make_cfg(env, "diffusion")
+    ours, metrics_obj = _run_ours(env, cfg, monkeypatch)
+    ref_nums, ref_embs = _run_reference(env, "diffusion")
+    _compare(env, ours, ref_nums, metrics_obj, ref_embs)
