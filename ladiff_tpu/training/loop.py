@@ -73,7 +73,10 @@ class PreemptionGuard:
 
     def __exit__(self, *exc):
         for s, prev in self._prev.items():
-            signal.signal(s, prev)
+            # getsignal() returns None for handlers installed by non-Python
+            # code; signal.signal(s, None) would raise, so fall back to the
+            # default disposition
+            signal.signal(s, signal.SIG_DFL if prev is None else prev)
         return False
 
 
@@ -146,9 +149,14 @@ def run_training(cfg, dm: T2MDataModule, logger,
     # counter-based generator: threefry bit generation alone is ~25% of the
     # VAE step (132 -> 99.5 ms/step measured; dropout in total, bits + mask
     # multiplies, is ~36% — see the breakdown table in PERF.md)
-    impl = {"threefry": "threefry2x32", "rbg": "rbg",
-            "unsafe_rbg": "unsafe_rbg"}[
-        str(cfg.TRAIN.get("RNG_IMPL", "threefry"))]
+    _impls = {"threefry": "threefry2x32", "threefry2x32": "threefry2x32",
+              "rbg": "rbg", "unsafe_rbg": "unsafe_rbg"}
+    impl_key = str(cfg.TRAIN.get("RNG_IMPL", "threefry"))
+    if impl_key not in _impls:
+        raise ValueError(
+            f"TRAIN.RNG_IMPL={impl_key!r} is not recognized; expected one "
+            f"of {sorted(_impls)}")
+    impl = _impls[impl_key]
     rng = jax.random.key(int(cfg.get("SEED_VALUE", 1234)), impl=impl)
     params = system.init_params(jax.random.PRNGKey(
         int(cfg.get("SEED_VALUE", 1234))))

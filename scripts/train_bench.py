@@ -67,8 +67,10 @@ def main():
 
     B = args.batch
     rng = jax.random.key(1, impl=args.rng)
-    lengths = np.minimum(
-        40 + 8 * np.arange(B) % (args.frames - 39), args.frames)
+    # ramp 40, 48, 56, ... wrapping so every length stays in
+    # [40, args.frames] (clamped when frames itself is small)
+    span = max(args.frames - 39, 1)
+    lengths = np.minimum(40 + (8 * np.arange(B)) % span, args.frames)
     batch = {
         "motion": jnp.asarray(
             np.random.RandomState(0).randn(B, args.frames, nfeats)
@@ -141,14 +143,24 @@ def vae_breakdown(system, vae_params, batch, rng, args, overhead):
     the feats2joints joint-loss chain, encoder vs decoder fwd+bwd); each
     row is scan-amortized over --iters evaluations like the step bench.
     """
-    import time
-    from ladiff_tpu.losses.mld import vae_loss, smooth_l1
-
     # the train=False variants differentiate through deterministic forward
     # passes, which would otherwise pick the fused Pallas kernels (no VJP);
-    # restore the caller's value afterwards (it is a documented A/B knob)
+    # always restore the caller's value (it is a documented A/B knob and
+    # the subsequent diffusion_train bench in this process depends on it)
     prev_disable = os.environ.get("LADIFF_DISABLE_PALLAS")
     os.environ["LADIFF_DISABLE_PALLAS"] = "1"
+    try:
+        _vae_breakdown_body(system, vae_params, batch, rng, args, overhead)
+    finally:
+        if prev_disable is None:
+            os.environ.pop("LADIFF_DISABLE_PALLAS", None)
+        else:
+            os.environ["LADIFF_DISABLE_PALLAS"] = prev_disable
+
+
+def _vae_breakdown_body(system, vae_params, batch, rng, args, overhead):
+    import time
+    from ladiff_tpu.losses.mld import vae_loss, smooth_l1
 
     feats = batch["motion"]
     lengths = batch["length"]
@@ -236,10 +248,6 @@ def vae_breakdown(system, vae_params, batch, rng, args, overhead):
         dt = (time.perf_counter() - t0 - overhead) / args.iters
         print(json.dumps({"variant": name,
                           "ms": round(dt * 1e3, 2)}))
-    if prev_disable is None:
-        del os.environ["LADIFF_DISABLE_PALLAS"]
-    else:
-        os.environ["LADIFF_DISABLE_PALLAS"] = prev_disable
 
 
 if __name__ == "__main__":

@@ -109,9 +109,14 @@ def run_test(cfg, logger, datamodule=None, text_encoder=None,
     save_latents = bool(cfg.TEST.get("SAVE_LATENTS", False)) and stage == "vae"
     latents_dir = str(cfg.TEST.get("LATENTS_DIR", "./datasets/latents"))
     if save_latents:
+        import re
         os.makedirs(latents_dir, exist_ok=True)
-        latent_count = len([f for f in os.listdir(latents_dir)
-                            if "latent" in f])
+        # next index = max existing latent_<n> + 1 (a plain file count can
+        # collide with existing dumps when unrelated files match or the
+        # sequence has gaps)
+        existing = [int(m.group(1)) for f in os.listdir(latents_dir)
+                    if (m := re.fullmatch(r"latent_(\d+)\.npy", f))]
+        latent_count = max(existing, default=-1) + 1
     times = []
     for rep in range(reps):
         tm2t = TM2TMetrics(diversity_times=min(
