@@ -37,10 +37,11 @@ def make_a2m_eval_step(system, vae, classifier, classifier_params,
             feats, logits = classifier.apply(
                 {"params": classifier_params}, motion, lengths)
         else:
-            B, T, F = motion.shape
-            x = motion.reshape(B, T, F // 6, 6)
+            # reference slicing (ladiff.py:1475-1483): channel-major rot6d
+            # reshape, translation node dropped -> 24-joint smpl graph
+            from ladiff_tpu.models.classifiers import stgcn_input_from_feats
             feats, logits = classifier.apply(
-                {"params": classifier_params}, x)
+                {"params": classifier_params}, stgcn_input_from_feats(motion))
         return feats, logits
 
     def step(params, batch, rng):

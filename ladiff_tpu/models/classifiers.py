@@ -105,63 +105,60 @@ SMPL_EDGES = [
 ]
 
 
-def smpl_graph_adjacency(num_nodes: int = 24, strategy: str = "spatial",
-                         with_global: bool = True) -> np.ndarray:
-    """Normalized adjacency stack [K, V, V] (reference uestc_stgcn Graph,
-    smpl layout, spatial partitioning)."""
+def smpl_graph_adjacency(num_nodes: int = 24,
+                         strategy: str = "spatial") -> np.ndarray:
+    """Normalized adjacency stack [K, V, V].
+
+    Faithful rebuild of the reference ``Graph`` (uestc_stgcn.py:211-352,
+    smpl layout, max_hop=1): hop distances from self-links + kinematic-tree
+    edges, ``normalize_digraph`` (A @ D^-1, zero column for isolated nodes),
+    and spatial partitioning stacked exactly as the reference does —
+    [hop-0 root, hop-1 root+centripetal, hop-1 centrifugal] — so converted
+    ``uestc_rot6d_stgcn.tar`` edge-importance tensors line up slot-for-slot.
+    """
     V = num_nodes
+    assert V == 24, "reference UESTC classifier uses the 24-joint smpl layout"
     edges = [(i, i) for i in range(V)] + SMPL_EDGES
-    A = np.zeros((V, V), np.float32)
+    A = np.zeros((V, V), np.float64)
     for i, j in edges:
         A[i, j] = 1
         A[j, i] = 1
-    # hop distance (0 or 1 neighborhood)
+    # hop distance via adjacency powers (reference get_hop_distance, max_hop=1)
     hop = np.full((V, V), np.inf)
     hop[A > 0] = 1
     np.fill_diagonal(hop, 0)
-    # normalize: D^-1 A
+    # normalize_digraph: AD = A @ Dn with Dn[i,i] = deg^-1 (0 if isolated)
     deg = A.sum(0)
     Dn = np.zeros_like(A)
-    Dn[deg > 0, deg > 0] = 0  # placeholder
-    Dn = np.diag(1.0 / np.maximum(deg, 1e-6))
+    nz = deg > 0
+    Dn[nz, nz] = 1.0 / deg[nz]
     AD = A @ Dn
     if strategy == "uniform":
-        return AD[None]
-    # spatial partitioning: root (hop 0), centripetal, centrifugal by
-    # distance to the root node (joint 0)
+        return AD[None].astype(np.float32)
+    # spatial partitioning about center joint 0 (reference :444-466): for
+    # each hop, split by center distance; hop 0 contributes its root slice,
+    # hop 1 contributes (root + centripetal) and centrifugal slices
     center = 0
-    d_center = _bfs_dist(A, center)
-    a_root = np.zeros((V, V), np.float32)
-    a_close = np.zeros((V, V), np.float32)
-    a_far = np.zeros((V, V), np.float32)
-    for i in range(V):
-        for j in range(V):
-            if hop[j, i] <= 1:
-                if d_center[j] == d_center[i]:
-                    a_root[j, i] = AD[j, i]
-                elif d_center[j] > d_center[i]:
-                    a_close[j, i] = AD[j, i]
-                else:
-                    a_far[j, i] = AD[j, i]
-    return np.stack([a_root, a_close, a_far])
-
-
-def _bfs_dist(A: np.ndarray, src: int) -> np.ndarray:
-    V = len(A)
-    dist = np.full(V, np.inf)
-    dist[src] = 0
-    frontier = [src]
-    d = 0
-    while frontier:
-        d += 1
-        nxt = []
-        for u in frontier:
-            for v in range(V):
-                if A[u, v] > 0 and dist[v] == np.inf:
-                    dist[v] = d
-                    nxt.append(v)
-        frontier = nxt
-    return dist
+    out = []
+    for h in (0, 1):
+        a_root = np.zeros((V, V))
+        a_close = np.zeros((V, V))
+        a_far = np.zeros((V, V))
+        for i in range(V):
+            for j in range(V):
+                if hop[j, i] == h:
+                    if hop[j, center] == hop[i, center]:
+                        a_root[j, i] = AD[j, i]
+                    elif hop[j, center] > hop[i, center]:
+                        a_close[j, i] = AD[j, i]
+                    else:
+                        a_far[j, i] = AD[j, i]
+        if h == 0:
+            out.append(a_root)
+        else:
+            out.append(a_root + a_close)
+            out.append(a_far)
+    return np.stack(out).astype(np.float32)
 
 
 class _FrozenBN(nn.Module):
@@ -227,19 +224,25 @@ class STGCNBlock(nn.Module):
 
 
 class STGCN(nn.Module):
-    """[B, T, V, C] pose sequences -> (features_256, logits)."""
+    """[B, T, V, C] pose sequences -> (features_256, logits).
+
+    Input layout note (reference allsplit_step, ladiff.py:1475-1483): the
+    reference feeds rot6d features reshaped CHANNEL-major —
+    ``feats.view(B, T, 6, 25).permute(0, 3, 2, 1)[:, :-1]`` — i.e. feature
+    ``c * 25 + v`` belongs to (channel c, node v), and the translation node
+    (v = 24) is dropped before the 24-joint smpl graph.  Use
+    ``stgcn_input_from_feats`` to replicate that slicing.
+    """
 
     in_channels: int = 6
     num_class: int = 40
-    num_nodes: int = 25
+    num_nodes: int = 24
     edge_importance_weighting: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        A = jnp.asarray(smpl_graph_adjacency(self.num_nodes)
-                        if self.num_nodes == 24 else
-                        _padded_adjacency(self.num_nodes))
+        A = jnp.asarray(smpl_graph_adjacency(self.num_nodes))
         B, T, V, C = x.shape
         # data_bn over V*C channels
         y = x.reshape(B, T, V * C)
@@ -265,12 +268,57 @@ class STGCN(nn.Module):
         return feat, logits
 
 
-def _padded_adjacency(num_nodes: int) -> np.ndarray:
-    """SMPL graph extended with a translation node attached to the root."""
-    base = smpl_graph_adjacency(24)
-    K = base.shape[0]
-    out = np.zeros((K, num_nodes, num_nodes), np.float32)
-    out[:, :24, :24] = base
-    out[0, 24, 24] = 1.0
-    out[0, 24, 0] = out[0, 0, 24] = 0.5
-    return out
+def stgcn_input_from_feats(feats: jax.Array) -> jax.Array:
+    """[B, T, 150] rot6d+translation features -> [B, T, 24, 6] classifier
+    input, replicating the reference slicing (ladiff.py:1475-1483:
+    ``view(B, T, 6, 25).permute(0, 3, 2, 1)[:, :-1]``): channel-major
+    reshape, translation node dropped."""
+    B, T, F = feats.shape
+    x = feats.reshape(B, T, 6, F // 6)       # [B, T, C=6, V]
+    return x.transpose(0, 1, 3, 2)[:, :, :-1]  # [B, T, V-1, C]
+
+
+def load_stgcn_checkpoint(path: str):
+    """Convert the reference ``uestc_rot6d_stgcn.tar`` state dict
+    (reference metrics/stgcn.py:42-45; module uestc_stgcn.py:8-110) to our
+    STGCN param tree.  Returns None when the asset is missing."""
+    import os
+    if not os.path.exists(path):
+        return None
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    sd = {k: v.numpy() for k, v in sd.items()}
+
+    def bn(prefix):
+        return {"scale": np.asarray(sd[prefix + ".weight"]),
+                "bias": np.asarray(sd[prefix + ".bias"]),
+                "mean": np.asarray(sd[prefix + ".running_mean"]),
+                "var": np.asarray(sd[prefix + ".running_var"])}
+
+    def conv(prefix):
+        # torch Conv2d [out, in, kh, kw] -> flax [kh, kw, in, out]
+        return {"kernel": np.asarray(sd[prefix + ".weight"])
+                .transpose(2, 3, 1, 0),
+                "bias": np.asarray(sd[prefix + ".bias"])}
+
+    P: Dict[str, Any] = {"data_bn": bn("data_bn")}
+    i = 0
+    while f"st_gcn_networks.{i}.gcn.conv.weight" in sd:
+        pre = f"st_gcn_networks.{i}"
+        block = {"gcn_conv": conv(pre + ".gcn.conv"),
+                 "bn1": bn(pre + ".tcn.0"),
+                 "tcn_conv": conv(pre + ".tcn.2"),
+                 "bn2": bn(pre + ".tcn.3")}
+        if pre + ".residual.0.weight" in sd:
+            block["res_conv"] = conv(pre + ".residual.0")
+            block["res_bn"] = bn(pre + ".residual.1")
+        P[f"st_gcn_{i}"] = block
+        if f"edge_importance.{i}" in sd:
+            P[f"edge_importance_{i}"] = np.asarray(sd[f"edge_importance.{i}"])
+        i += 1
+    # fcn: reference 1x1 Conv2d applied to pooled [B, 256, 1, 1]; ours Dense
+    P["fcn"] = {"kernel": np.asarray(sd["fcn.weight"])[:, :, 0, 0].T,
+                "bias": np.asarray(sd["fcn.bias"])}
+    return jax.tree.map(jnp.asarray, P)

@@ -243,7 +243,8 @@ def _run_a2m_test(cfg, logger, dataset, params=None):
     from ladiff_tpu.evaluation.a2m_eval import run_a2m_eval
     from ladiff_tpu.metrics.a2m import ActionClassifierMetrics
     from ladiff_tpu.models.classifiers import (MotionDiscriminator, STGCN,
-                                               load_gru_classifier_checkpoint)
+                                               load_gru_classifier_checkpoint,
+                                               load_stgcn_checkpoint)
     from ladiff_tpu.models.ladiff import LADiffSystem
     from ladiff_tpu.utils.checkpoint import CheckpointManager, latest_checkpoint
 
@@ -263,11 +264,19 @@ def _run_a2m_test(cfg, logger, dataset, params=None):
     is_uestc = "UESTCMetrics" in list(cfg.METRIC.TYPE)
     num_labels = int(cfg.DATASET.get("NCLASSES", 12))
     if is_uestc:
-        clf = STGCN(in_channels=6, num_class=num_labels,
-                    num_nodes=nfeats // 6)
-        clf_params = clf.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, 60, nfeats // 6, 6)))["params"]
+        # reference UESTCMetrics classifier (metrics/stgcn.py:32-49):
+        # 24-joint smpl graph, rot6d channels, translation node dropped
+        clf = STGCN(in_channels=6, num_class=num_labels, num_nodes=24)
+        stgcn_path = pjoin(
+            str(cfg.model.get("uestc_rec_path", "") or
+                "deps/actionrecognition"), "uestc_rot6d_stgcn.tar")
+        clf_params = load_stgcn_checkpoint(stgcn_path)
+        if clf_params is None:
+            logger.warning(f"ST-GCN ckpt not found at {stgcn_path}; "
+                           "using random init (self-consistent only)")
+            clf_params = clf.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 60, 24, 6)))["params"]
         kind = "stgcn"
     else:
         clf = MotionDiscriminator(input_size=nfeats, hidden_size=128,

@@ -105,13 +105,77 @@ def test_gru_classifier_matches_reference():
 
 
 def test_stgcn_runs():
-    model = STGCN(in_channels=6, num_class=40, num_nodes=25)
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 60, 25, 6))
+    model = STGCN(in_channels=6, num_class=40, num_nodes=24)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 60, 24, 6))
     params = model.init(jax.random.PRNGKey(1), x)
     feat, logits = model.apply(params, x)
     assert feat.shape == (2, 256)
     assert logits.shape == (2, 40)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def _fake_kintree(path):
+    """kintree_table.pkl with the standard SMPL parent array, in the layout
+    the reference Graph expects (uestc_stgcn.py:261-267)."""
+    import pickle
+    parents = np.full(24, -1)
+    from ladiff_tpu.models.classifiers import SMPL_EDGES
+    for p, c in SMPL_EDGES:
+        parents[c] = p
+    kt = np.stack([parents, np.arange(24)])
+    with open(path, "wb") as f:
+        pickle.dump(kt, f)
+    return path
+
+
+def test_stgcn_matches_reference(tmp_path):
+    """Converter + full-forward parity vs the reference UESTC classifier
+    (uestc_stgcn.py:8-110), including the channel-major input slicing the
+    reference applies at ladiff.py:1475-1483 and randomized BN running
+    stats (a frozen eval-mode classifier is an affine BN)."""
+    torch = pytest.importorskip("torch")
+    import sys
+    sys.path.insert(0, "/root/reference/src")
+    from ladiff.models.architectures.uestc_stgcn import STGCN as RefSTGCN
+
+    from ladiff_tpu.models.classifiers import (load_stgcn_checkpoint,
+                                               stgcn_input_from_feats)
+
+    kintree = _fake_kintree(str(tmp_path / "kintree_table.pkl"))
+    torch.manual_seed(3)
+    ref = RefSTGCN(in_channels=6, num_class=40, kintree_path=kintree,
+                   graph_args={"layout": "smpl", "strategy": "spatial"},
+                   edge_importance_weighting=True)
+    # randomize BN running stats so conversion of mean/var is actually tested
+    rs = np.random.RandomState(5)
+    for m in ref.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.copy_(torch.tensor(
+                rs.randn(m.num_features).astype(np.float32) * 0.2))
+            m.running_var.copy_(torch.tensor(
+                (0.5 + rs.rand(m.num_features)).astype(np.float32)))
+    ref = ref.eval()
+
+    ckpt = str(tmp_path / "uestc_rot6d_stgcn.tar")
+    torch.save(ref.state_dict(), ckpt)
+    params = load_stgcn_checkpoint(ckpt)
+    assert params is not None
+    ours = STGCN(in_channels=6, num_class=40, num_nodes=24)
+
+    B, T = 3, 40
+    feats = rs.randn(B, T, 150).astype(np.float32)  # rot6d + translation
+    # reference side: slicing exactly as allsplit_step does
+    motion = (torch.tensor(feats).view(B, T, 6, 25)
+              .permute(0, 3, 2, 1)[:, :-1])
+    with torch.no_grad():
+        out = ref(motion)
+    want_feat = out["features"].numpy()
+    want_logits = out["yhat"].numpy()
+
+    got_feat, got_logits = ours.apply(
+        {"params": params}, stgcn_input_from_feats(jnp.asarray(feats)))
+    np.testing.assert_allclose(np.asarray(got_feat), want_feat, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_logits), want_logits, atol=2e-4)
 
 
 def test_action_metrics_protocol():
