@@ -23,7 +23,8 @@ from ladiff_tpu.models.ladiff import LADiffSystem
 from ladiff_tpu.parallel.mesh import DATA_AXIS
 
 __all__ = ["TrainState", "make_optimizer", "create_train_state",
-           "make_vae_train_step", "make_diffusion_train_step"]
+           "make_vae_train_step", "make_diffusion_train_step",
+           "make_vae_diffusion_train_step"]
 
 
 class TrainState(train_state.TrainState):
@@ -133,8 +134,11 @@ def make_vae_diffusion_train_step(system: LADiffSystem, mesh: Mesh,
         return state, logs
 
     batch_sh = {"motion": data, "length": data, "text_emb": data}
-    return jax.jit(
+    jitted = jax.jit(
         step,
         in_shardings=(repl, batch_sh, repl),
         out_shardings=(repl, repl),
-        )
+        donate_argnums=(0,),
+    )
+    jitted.raw_step = step
+    return jitted

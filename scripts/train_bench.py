@@ -135,6 +135,14 @@ def main():
     bench("diffusion_train", state2, step2,
           extra={"text_emb": jax.device_put(text)})
 
+    # joint stage (TRAIN.STAGE=vae_diffusion): both trees train together
+    from ladiff_tpu.training.trainer import make_vae_diffusion_train_step
+    state3 = create_train_state(
+        {"vae": params["vae"], "denoiser": params["denoiser"]}, tx)
+    step3 = make_vae_diffusion_train_step(system, mesh, uncond)
+    bench("vae_diffusion_train", state3, step3,
+          extra={"text_emb": jax.device_put(text)})
+
 
 def vae_breakdown(system, vae_params, batch, rng, args, overhead):
     """Localize the VAE step cost: times grad passes of reduced graphs.

@@ -19,6 +19,9 @@ def test_vae_diffusion_joint_step():
         mean=np.zeros(NFEATS, np.float32), std=np.ones(NFEATS, np.float32))
     mesh = make_mesh()
     params = system.init_params(jax.random.PRNGKey(0))
+    # the jitted step donates its state (first-class like the other two
+    # stages), so snapshot the initial params on host for the comparison
+    params0 = jax.tree.map(np.asarray, params)
     state = create_train_state(params, make_optimizer(1e-3))
     uncond = np.zeros((1, 1, 48), np.float32)
     step = make_vae_diffusion_train_step(system, mesh, uncond)
@@ -39,7 +42,7 @@ def test_vae_diffusion_joint_step():
     for key in ("vae_recons_feature", "diff_inst_loss", "gen_feature"):
         assert key in logs, list(logs)
     # both subtrees updated
-    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
-                         params, state.params)
+    moved = jax.tree.map(lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+                         params0, state.params)
     assert max(jax.tree.leaves(moved["vae"])) > 0
     assert max(jax.tree.leaves(moved["denoiser"])) > 0
