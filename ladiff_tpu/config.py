@@ -124,6 +124,11 @@ def resolve(cfg: ConfigNode, _root: ConfigNode | None = None) -> ConfigNode:
 
     A value that is exactly one interpolation keeps the referenced value's
     type (like OmegaConf); embedded interpolations are string-substituted.
+    An interpolation whose target does not exist is left as its literal
+    ``${...}`` string: OmegaConf only errors on *access*, and reference
+    config trees ship dangling interpolations on never-accessed keys
+    (e.g. modules/evaluators.yaml's ${model.t2m_moveencoder.output_size}),
+    so eager raising would reject configs the reference accepts.
     """
     root = _root if _root is not None else cfg
 
@@ -136,14 +141,13 @@ def resolve(cfg: ConfigNode, _root: ConfigNode | None = None) -> ConfigNode:
                     raise ValueError(f"circular interpolation: {path}")
                 target = root.select(path, default=_MISSING)
                 if target is _MISSING:
-                    raise KeyError(f"interpolation target not found: {path}")
+                    return v  # dangling: keep literal (OmegaConf-lazy parity)
                 return _resolve_value(target, seen + (path,))
             if "${" in v:
                 def sub(mm: re.Match) -> str:
                     t = root.select(mm.group(1), default=_MISSING)
                     if t is _MISSING:
-                        raise KeyError(
-                            f"interpolation target not found: {mm.group(1)}")
+                        return mm.group(0)  # keep literal
                     return str(_resolve_value(t, seen + (mm.group(1),)))
 
                 return _INTERP_RE.sub(sub, v)

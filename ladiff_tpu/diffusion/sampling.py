@@ -65,14 +65,21 @@ def ddim_sample(
     steps_offset: int = 1,
     step_aux=None,
     return_trajectory: bool = False,
+    kind: str = "ddim",
 ) -> jax.Array:
-    """Full DDIM reverse process as a single scan.
+    """Full reverse process as a single scan.
 
     shape: [B, n_lat, D].  ``latent_valid`` rows beyond the per-sample active
     count stay exactly zero through every step (the reference zeroes init
     noise at ladiff.py:386-390 and re-zeroes at :562-569; with a zero init
     and masked updates the invariant holds at every step here).
+
+    ``kind``: "ddim" (deterministic unless eta > 0) or "ddpm" (ancestral,
+    per-step noise) — the reference selects via the configured diffusers
+    scheduler class (modules*/scheduler.yaml; the novae family ships
+    DDPMScheduler at 1000 steps).
     """
+    assert kind in ("ddim", "ddpm"), kind
     init_rng, noise_rng = jax.random.split(rng)
     latents = jax.random.normal(init_rng, shape, jnp.float32)
     latents = latents * schedule.init_noise_sigma
@@ -80,7 +87,8 @@ def ddim_sample(
         latents = jnp.where(latent_valid[:, :, None], latents, 0.0)
 
     ts, prev_ts = ddim_timesteps(schedule.num_train_timesteps,
-                                 num_inference_steps, steps_offset)
+                                 num_inference_steps,
+                                 steps_offset if kind == "ddim" else 0)
     ts = jnp.asarray(ts)
     prev_ts = jnp.asarray(prev_ts)
 
@@ -88,13 +96,17 @@ def ddim_sample(
         latents, rng = carry
         t, t_prev, aux = scanned
         eps = guided_denoise_fn(latents, t, latent_valid, aux)
-        if eta > 0.0:
+        if kind == "ddpm" or eta > 0.0:
             rng, step_rng = jax.random.split(rng)
             noise = jax.random.normal(step_rng, latents.shape, latents.dtype)
         else:
             noise = None
-        latents = schedule.ddim_step(eps, t, t_prev, latents, eta=eta,
-                                     noise=noise)
+        if kind == "ddpm":
+            latents = schedule.ddpm_step(eps, t, latents, noise,
+                                         prev_timestep=t_prev)
+        else:
+            latents = schedule.ddim_step(eps, t, t_prev, latents, eta=eta,
+                                         noise=noise)
         if latent_valid is not None:
             latents = jnp.where(latent_valid[:, :, None], latents, 0.0)
         return (latents, rng), (latents if return_trajectory else None)

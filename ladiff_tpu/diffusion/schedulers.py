@@ -107,15 +107,24 @@ class DiffusionSchedule:
     # -- DDPM -----------------------------------------------------------
     def ddpm_step(self, model_output: jax.Array, timestep: jax.Array,
                   sample: jax.Array, noise: jax.Array,
-                  variance_type: str = "fixed_small") -> jax.Array:
-        """One ancestral DDPM update (diffusers ``DDPMScheduler.step``)."""
+                  variance_type: str = "fixed_small",
+                  prev_timestep: Optional[jax.Array] = None) -> jax.Array:
+        """One ancestral DDPM update (diffusers ``DDPMScheduler.step``).
+
+        ``prev_timestep`` defaults to t-1 (full-grid sampling); pass the
+        subsampled previous timestep when num_inference < num_train
+        (diffusers ``previous_timestep``)."""
         t = timestep
+        t_prev = t - 1 if prev_timestep is None else prev_timestep
         alpha_prod_t = self.alphas_cumprod[t]
-        alpha_prod_prev = jnp.where(t > 0,
-                                    self.alphas_cumprod[jnp.maximum(t - 1, 0)],
-                                    jnp.ones_like(alpha_prod_t))
-        beta_t = self.betas[t]
-        alpha_t = 1.0 - beta_t
+        alpha_prod_prev = jnp.where(
+            t_prev >= 0,
+            self.alphas_cumprod[jnp.maximum(t_prev, 0)],
+            jnp.ones_like(alpha_prod_t))
+        # effective beta over the (possibly multi-step) jump
+        alpha_jump = alpha_prod_t / alpha_prod_prev
+        beta_t = 1.0 - alpha_jump
+        alpha_t = alpha_jump
         beta_prod_t = 1.0 - alpha_prod_t
         x0, _ = self._predict_x0_eps(model_output, sample, alpha_prod_t)
         # posterior mean coefficients

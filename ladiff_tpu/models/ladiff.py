@@ -39,6 +39,12 @@ from ladiff_tpu.utils.masks import latent_valid_mask, lengths_to_mask
 __all__ = ["LADiffSystem"]
 
 
+def _mod_layers(m, key):
+    """Per-module num_layers from the merged module yaml (None if absent)."""
+    v = ((m.get(key) or {}).get("params") or {}).get("num_layers")
+    return int(v) if v is not None else None
+
+
 @dataclasses.dataclass
 class LADiffSystem:
     nfeats: int
@@ -64,6 +70,14 @@ class LADiffSystem:
     num_inference_timesteps: int = 50
     eta: float = 0.0
     num_train_timesteps: int = 1000
+    # "ddim" | "ddpm" — the reference selects via the diffusers scheduler
+    # class in modules*/scheduler.yaml (novae ships DDPMScheduler)
+    scheduler_kind: str = "ddim"
+    # per-tower depth overrides (reference families size the towers via
+    # modules_*/{motion_vae,denoiser}.yaml, e.g. humanact12: 6-layer
+    # ActorVae + 15-layer denoiser); None = shared num_layers
+    vae_num_layers: Optional[int] = None
+    denoiser_num_layers: Optional[int] = None
     ardiff: bool = False
     motion_conditioning: str = "last"
     condition: str = "text"
@@ -91,9 +105,11 @@ class LADiffSystem:
             num_layers=int(m.num_layers),
             num_heads=int(m.num_head),
             dropout=float(m.droupout),  # sic: reference key spelling
-            max_it=int(abl.MAX_IT),
-            frame_per_latent=int(abl.FRAME_PER_LATENT),
-            lad=bool(abl.LAD),
+            # .get defaults: reference family configs (e.g. novae) omit
+            # these keys entirely when the VAE tower is unused
+            max_it=int(abl.get("MAX_IT", 5)),
+            frame_per_latent=int(abl.get("FRAME_PER_LATENT", 48)),
+            lad=bool(abl.get("LAD", True)),
             dvae=bool(abl.get("DVAE", False)),
             percentage_noised=float(abl.get("PERCENTAGE_NOISED", 0.0)),
             md_trans=bool(abl.get("MD_TRANS", False)),
@@ -109,11 +125,17 @@ class LADiffSystem:
             eta=float(sched.get("eta", 0.0)),
             num_train_timesteps=int(
                 (sched.get("params") or {}).get("num_train_timesteps", 1000)),
+            scheduler_kind=str(
+                sched.get("kind", "")
+                or ("ddpm" if "DDPM" in str(sched.get("target", ""))
+                    else "ddim")),
             ardiff=bool(cfg.get("ARDIFF", False)),
             motion_conditioning=str(m.get("motion_conditioning", "last")),
             condition=str(m.get("condition", "text")),
             nclasses=int(cfg.DATASET.get("NCLASSES", 12)),
             vae_type=str(cfg.TRAIN.ABLATION.get("VAE_TYPE", "ladiff")),
+            vae_num_layers=_mod_layers(m, "motion_vae"),
+            denoiser_num_layers=_mod_layers(m, "denoiser"),
             weights=LossWeights.from_cfg(cfg),
             mean=None if mean is None else jnp.asarray(mean),
             std=None if std is None else jnp.asarray(std),
@@ -127,12 +149,14 @@ class LADiffSystem:
             from ladiff_tpu.models.actor_vae import ActorVae
             return ActorVae(
                 nfeats=self.nfeats, latent_dim=self.latent_dim,
-                ff_size=self.ff_size, num_layers=self.num_layers,
+                ff_size=self.ff_size,
+                num_layers=self.vae_num_layers or self.num_layers,
                 num_heads=self.num_heads, dropout=self.dropout,
                 dtype=self.dtype)
         return LAVae(
             nfeats=self.nfeats, latent_dim=self.latent_dim,
-            ff_size=self.ff_size, num_layers=self.num_layers,
+            ff_size=self.ff_size,
+            num_layers=self.vae_num_layers or self.num_layers,
             num_heads=self.num_heads, dropout=self.dropout,
             max_it=self.max_it, frame_per_latent=self.frame_per_latent,
             lad=self.lad, dvae=self.dvae,
@@ -144,7 +168,8 @@ class LADiffSystem:
     def denoiser(self) -> LADenoiser:
         return LADenoiser(
             nfeats=self.nfeats, latent_dim=self.latent_dim,
-            ff_size=self.ff_size, num_layers=self.num_layers,
+            ff_size=self.ff_size,
+            num_layers=self.denoiser_num_layers or self.num_layers,
             num_heads=self.num_heads, dropout=self.dropout,
             text_encoded_dim=self.text_encoded_dim, md_trans=self.md_trans,
             condition=self.condition, nclasses=self.nclasses,
@@ -379,7 +404,9 @@ class LADiffSystem:
         text_uncond_l = denoiser.apply({"params": den_params}, text_emb_uncond,
                                        method=denoiser.project_text)
         from ladiff_tpu.diffusion.schedulers import ddim_timesteps
-        ts_np, _ = ddim_timesteps(self.schedule.num_train_timesteps, steps)
+        ts_np, _ = ddim_timesteps(
+            self.schedule.num_train_timesteps, steps,
+            steps_offset=1 if self.scheduler_kind == "ddim" else 0)
         time_table = denoiser.apply(
             {"params": den_params}, jnp.asarray(ts_np),
             method=denoiser.compute_time_embedding)  # [steps, D]
@@ -421,7 +448,7 @@ class LADiffSystem:
             guided, self.schedule, rng, (B, n_lat, D), steps,
             latent_valid=lat_valid, eta=self.eta,
             step_aux=(time_table, md_tables),
-            return_trajectory=return_trajectory)
+            return_trajectory=return_trajectory, kind=self.scheduler_kind)
 
     def diffusion_reverse_ar(self, den_params, text_emb_cond: jax.Array,
                              text_emb_uncond: jax.Array, lengths: jax.Array,

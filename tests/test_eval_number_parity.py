@@ -226,7 +226,9 @@ def _make_cfg(env, stage):
         "model": {"ff_size": FF, "num_layers": LAYERS, "num_head": HEADS,
                   "droupout": 0.0, "latent_dim": [MAX_IT, LAT_D],
                   "t2m_path": "", "clip_path": "",
-                  "denoiser": {"params": {"text_encoded_dim": TEXT_D}},
+                  "denoiser": {"params": {"text_encoded_dim": TEXT_D,
+                                          "num_layers": LAYERS}},
+                  "motion_vae": {"params": {"num_layers": LAYERS}},
                   "scheduler": {"num_inference_timesteps": N_STEPS}},
     }
     (env["tmp"] / f"exp_{stage}").mkdir(exist_ok=True)
