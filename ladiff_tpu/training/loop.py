@@ -254,6 +254,11 @@ def run_training(cfg, dm: T2MDataModule, logger,
                     "epoch": epoch_mark}
         return ckpt.save(epoch_mark, tree)
 
+    # scalar sinks: jsonl + TensorBoard + (when configured) WandB with
+    # resume-run-id continuity (reference src/train.py:64-83)
+    from ladiff_tpu.utils.logger import MetricsLogger
+    metrics_sink = MetricsLogger.from_cfg(cfg)
+
     with PreemptionGuard() as guard:
         for epoch in range(start_epoch, end_epoch):
             t0 = time.time()
@@ -289,6 +294,7 @@ def run_training(cfg, dm: T2MDataModule, logger,
                 logger.info(
                     f"preemption signal: saved {path} mid-epoch {epoch}, "
                     "exiting cleanly")
+                metrics_sink.close()
                 return ckpt_dir
             if losses:
                 mean_logs = {k: float(np.mean([jax.device_get(l[k])
@@ -300,7 +306,9 @@ def run_training(cfg, dm: T2MDataModule, logger,
                     + " ".join(f"{k}={v:.5f}"
                                for k, v in sorted(mean_logs.items()))
                     + f" ({dt:.1f}s)")
+                metrics_sink.log(epoch, mean_logs, prefix=f"train/{stage}/")
             if (epoch + 1) % save_every == 0 or (epoch + 1) == end_epoch:
                 path = save(epoch + 1)
                 logger.info(f"saved checkpoint {path}")
+    metrics_sink.close()
     return ckpt_dir

@@ -16,9 +16,12 @@ def main():
     from ladiff_tpu.config import parse_args
     from ladiff_tpu.data.datamodule import get_datasets
     from ladiff_tpu.training.loop import run_training
-    from ladiff_tpu.utils.logger import create_logger
+    from ladiff_tpu.utils.logger import apply_resume, create_logger
 
     cfg = parse_args("train")
+    # TRAIN.RESUME -> reload that run's config snapshot, newest checkpoint,
+    # and WandB run id (reference src/train.py:26-53)
+    cfg = apply_resume(cfg)
     logger = create_logger(cfg, phase="train")
     logger.info(f"experiment: {cfg.NAME} stage={cfg.TRAIN.STAGE}")
     dm = get_datasets(cfg, phase="train")[0]
