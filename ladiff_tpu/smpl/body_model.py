@@ -111,8 +111,11 @@ class SMPLModel:
         return cls(
             v_template=arr(d["v_template"]),
             shapedirs=arr(np.asarray(d["shapedirs"])[..., :10]),
+            # on-disk posedirs is [V, 3, (J-1)*9]; forward wants
+            # [(J-1)*9, V*3] — flatten the (v, c) axes into COLUMNS first,
+            # then transpose (reshape(-1, V*3).T would garble the order)
             posedirs=arr(np.asarray(d["posedirs"]).reshape(
-                -1, np.asarray(d["v_template"]).size).T
+                np.asarray(d["v_template"]).size, -1).T
                 if np.asarray(d["posedirs"]).ndim == 3
                 else d["posedirs"]),
             J_regressor=arr(d["J_regressor"]),
