@@ -282,10 +282,16 @@ class LADiffSystem:
             lat_valid = None
             frame_valid = lengths_to_mask(lengths, feats_ref.shape[1])
         else:
-            # frozen VAE encode (no grad through vae_params by construction)
+            # frozen VAE encode (no grad through vae_params by construction).
+            # Stop the gradient at the PARAMS, not just at z: in the joint
+            # vae_diffusion stage vae_params are differentiated elsewhere,
+            # and tangent-carrying inputs would force AD through this
+            # deterministic encode's fused kernels (which define no VJP)
+            # even though the tangents are discarded at z anyway.
             z, _, _, lat_valid = self.vae.apply(
-                {"params": vae_params}, feats_ref, lengths,
-                rng=enc_rng, deterministic=True, method=self.vae.encode)
+                {"params": jax.lax.stop_gradient(vae_params)}, feats_ref,
+                lengths, rng=enc_rng, deterministic=True,
+                method=self.vae.encode)
             z = jax.lax.stop_gradient(z)
             frame_valid = None
 
@@ -348,10 +354,14 @@ class LADiffSystem:
             jnp.broadcast_to(uncond_emb, text_emb.shape), lengths, gen_rng,
             num_inference_timesteps=min(self.num_inference_timesteps, 10))
         z_gen = jax.lax.stop_gradient(z_gen)
-        gen_feats = self.vae.apply(
-            {"params": params["vae"]}, z_gen, lengths,
-            nframes=batch["motion"].shape[1], deterministic=True,
-            method=self.vae.decode)
+        # eval-mode (no-dropout) decode WITH gradients into the decoder —
+        # must stay on XLA ops: the fused inference kernels have no VJP
+        from ladiff_tpu.ops.pallas_common import no_pallas
+        with no_pallas():
+            gen_feats = self.vae.apply(
+                {"params": params["vae"]}, z_gen, lengths,
+                nframes=batch["motion"].shape[1], deterministic=True,
+                method=self.vae.decode)
         gen_joints = self.feats2joints(gen_feats)
         from ladiff_tpu.losses.mld import smooth_l1
         gen_feature = smooth_l1(gen_feats, batch["motion"])
@@ -551,9 +561,10 @@ class LADiffSystem:
         (enc_rng, t_rng, n_rng, cfg_rng, drop_rng, idx_rng,
          coin_rng) = jax.random.split(rng, 7)
 
+        # params-level stop_gradient: same reasoning as diffusion_forward
         z, _, _, lat_valid = self.vae.apply(
-            {"params": vae_params}, feats_ref, lengths,
-            rng=enc_rng, deterministic=True, method=self.vae.encode)
+            {"params": jax.lax.stop_gradient(vae_params)}, feats_ref,
+            lengths, rng=enc_rng, deterministic=True, method=self.vae.encode)
         z = jax.lax.stop_gradient(z)
         n_active = lat_valid.sum(axis=1)
 

@@ -5,14 +5,37 @@ Single home for the in-kernel numerics every fused layer uses, so a change
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ln", "erf", "dot", "dot_t", "NEG_INF", "pallas_enabled"]
+__all__ = ["ln", "erf", "dot", "dot_t", "NEG_INF", "pallas_enabled",
+           "no_pallas"]
 
 NEG_INF = -1e9  # large finite negative keeps softmax numerics safe in bf16
+
+_no_pallas_ctx = contextvars.ContextVar("ladiff_no_pallas", default=False)
+
+
+@contextlib.contextmanager
+def no_pallas():
+    """Trace-time scope that forces the plain-XLA module paths.
+
+    Needed wherever a ``deterministic=True`` forward is DIFFERENTIATED —
+    the fused inference kernels define no VJP.  The canonical case is the
+    joint vae_diffusion stage's generation branch: the reference finetunes
+    the decoder on generated latents through an eval-mode (no-dropout)
+    decode (ladiff.py FINETUNE_DECODER), so that decode must stay on XLA
+    ops while the surrounding sampler may still use the kernels.
+    """
+    tok = _no_pallas_ctx.set(True)
+    try:
+        yield
+    finally:
+        _no_pallas_ctx.reset(tok)
 
 
 def pallas_enabled() -> bool:
@@ -22,9 +45,11 @@ def pallas_enabled() -> bool:
     LADIFF_DISABLE_PALLAS=1 forces the plain-XLA path even on TPU: the
     fused kernels define no VJP, so any caller differentiating through a
     ``deterministic=True`` forward pass needs it, and it enables
-    kernel-vs-XLA A/B timing.  Read at trace time.
+    kernel-vs-XLA A/B timing.  Read at trace time, as is the
+    ``no_pallas()`` scope.
     """
     return (jax.default_backend() == "tpu"
+            and not _no_pallas_ctx.get()
             and os.environ.get("LADIFF_DISABLE_PALLAS", "0") != "1")
 
 

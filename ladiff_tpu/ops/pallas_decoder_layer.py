@@ -102,7 +102,8 @@ def _kernel(x_ref, kvalid_ref, mem_ref, mvalid_ref,
             ca_wv_ref, ca_bv_ref, ca_wout_ref, ca_bout_ref,
             w1_ref, b1_ref, w2_ref, b2_ref,
             ln2s_ref, ln2b_ref, ln3s_ref, ln3b_ref,
-            out_ref, *, T: int, L: int, H: int, activation: str):
+            out_ref, *, T: int, L: int, H: int, activation: str,
+            per_sample: bool):
     M = x_ref.shape[0]
     Bb = M // T
     ML = Bb * L
@@ -120,11 +121,24 @@ def _kernel(x_ref, kvalid_ref, mem_ref, mvalid_ref,
     v = (_dot(x, sa_wv_ref[...])
          + sa_bv_ref[...].astype(jnp.float32)).astype(dtype)
 
-    rq = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) // T
-    same = rq == rq.reshape(1, M)
     kval = kvalid_ref[...].astype(jnp.float32).reshape(1, M)
-    bias = jnp.where(same & (kval > 0.5), 0.0, _NEG_INF)
-    ctx = _heads_attention_slots(q_pad, k_pad, v, bias, H, Dh, dtype)
+    if per_sample:
+        # per-sample 8-aligned attention: a [T, T] score block per sample
+        # instead of one [M, M] block where only the diagonal survives the
+        # same-sample mask — half the score/value FLOPs (and softmax width)
+        # for Bb=2 at the same grid size
+        parts = []
+        for s in range(Bb):
+            sl = slice(s * T, (s + 1) * T)
+            bias_s = jnp.where(kval[:, sl] > 0.5, 0.0, _NEG_INF)
+            parts.append(_heads_attention_slots(
+                q_pad[sl], k_pad[sl], v[sl], bias_s, H, Dh, dtype))
+        ctx = jnp.concatenate(parts, axis=0)
+    else:
+        rq = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) // T
+        same = rq == rq.reshape(1, M)
+        bias = jnp.where(same & (kval > 0.5), 0.0, _NEG_INF)
+        ctx = _heads_attention_slots(q_pad, k_pad, v, bias, H, Dh, dtype)
     # out proj is pad_head_rows-remapped to the slot layout [H*128, D]
     attn = _dot(ctx.astype(dtype), sa_wout_ref[...]) \
         + sa_bout_ref[...].astype(jnp.float32)
@@ -140,11 +154,22 @@ def _kernel(x_ref, kvalid_ref, mem_ref, mvalid_ref,
           + ca_bk_ref[...].astype(jnp.float32)).astype(dtype)
     v2 = (_dot(mem, ca_wv_ref[...])
           + ca_bv_ref[...].astype(jnp.float32)).astype(dtype)
-    rm = jax.lax.broadcasted_iota(jnp.int32, (ML, 1), 0) // L
-    same2 = rq == rm.reshape(1, ML)
     mval = mvalid_ref[...].astype(jnp.float32).reshape(1, ML)
-    bias2 = jnp.where(same2 & (mval > 0.5), 0.0, _NEG_INF)
-    ctx2 = _heads_attention(q2, k2, v2, bias2, H, Dh, dtype)
+    if per_sample:
+        parts = []
+        for s in range(Bb):
+            sl = slice(s * T, (s + 1) * T)
+            ml = slice(s * L, (s + 1) * L)
+            bias_s = jnp.where(mval[:, ml] > 0.5, 0.0, _NEG_INF)
+            parts.append(_heads_attention(
+                q2[sl], k2[ml], v2[ml], bias_s, H, Dh, dtype))
+        ctx2 = jnp.concatenate(parts, axis=0)
+    else:
+        rq = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) // T
+        rm = jax.lax.broadcasted_iota(jnp.int32, (ML, 1), 0) // L
+        same2 = rq == rm.reshape(1, ML)
+        bias2 = jnp.where(same2 & (mval > 0.5), 0.0, _NEG_INF)
+        ctx2 = _heads_attention(q2, k2, v2, bias2, H, Dh, dtype)
     x2 = _dot(ctx2.astype(dtype), ca_wout_ref[...]) \
         + ca_bout_ref[...].astype(jnp.float32)
 
@@ -163,7 +188,8 @@ def _kernel(x_ref, kvalid_ref, mem_ref, mvalid_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("T", "L", "H", "activation",
-                                             "block_samples"))
+                                             "block_samples",
+                                             "per_sample_attention"))
 def fused_decoder_layer(
     x: jax.Array,        # [B*T, D] frame-query rows
     kvalid: jax.Array,   # [B*T, 1] f32 frame-key validity
@@ -171,20 +197,37 @@ def fused_decoder_layer(
     mvalid: jax.Array,   # [B, L] f32 memory-key validity
     params: dict,        # TransformerDecoderLayer param tree
     *, T: int, L: int, H: int, activation: str = "gelu",
-    block_samples: int = 2,
+    block_samples: int = 2, per_sample_attention: bool = True,
 ) -> jax.Array:
     BT, D = x.shape
     B = BT // T
+    T0 = T
     Dh = D // H
     F = params["linear1"]["kernel"].shape[1]
     # Mosaic requires block sublane counts divisible by 8: pad the latent
     # rows per sample to an 8-multiple (validity 0 -> masked out exactly)
-    # and grow the sample block until the frame rows are 8-aligned too.
+    # and pad the FRAME rows per sample to an 8-multiple too.  Per-sample
+    # 8-aligned frame rows let block_samples=1 carry no block-diagonal
+    # attention waste: a [T, T] score GEMM per sample instead of a
+    # [Bb*T, Bb*T] one where only the diagonal blocks survive the mask
+    # (for T=196 that halves the self-attention score/value FLOPs vs the
+    # previous Bb=2-forced-by-alignment layout, at +2% padded rows).
     Lp = -(-L // 8) * 8
     if Lp != L:
         mem = jnp.pad(mem, ((0, 0), (0, Lp - L), (0, 0)))
         mvalid = jnp.pad(mvalid, ((0, 0), (0, Lp - L)))
     L = Lp
+    Tp = -(-T // 8) * 8
+    if Tp != T and (per_sample_attention or block_samples == 1):
+        # 8-aligned per-sample frame rows enable the in-kernel per-sample
+        # attention split (and are required for one-sample blocks); with
+        # per_sample_attention=False and Bb >= 2 the unpadded rows keep the
+        # original joint-attention layout for A/B benchmarking
+        pad_t = ((0, 0), (0, Tp - T), (0, 0))
+        x = jnp.pad(x.reshape(B, T, D), pad_t).reshape(B * Tp, D)
+        kvalid = jnp.pad(kvalid.reshape(B, T, 1),
+                         pad_t).reshape(B * Tp, 1)
+        T = Tp
     mem = mem.reshape(B * L, D)
     mvalid = mvalid.reshape(B * L, 1)
     Bb = max(1, min(block_samples, B))
@@ -233,7 +276,11 @@ def fused_decoder_layer(
     def w(shape):
         return pl.BlockSpec(shape, rep, memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_kernel, T=T, L=L, H=H, activation=activation)
+    # per-sample split needs 8-aligned frame rows; for one-sample blocks it
+    # is strictly cheaper (no same-sample mask) and always legal
+    ps = (T % 8 == 0) and (per_sample_attention or Bb == 1)
+    kernel = functools.partial(_kernel, T=T, L=L, H=H, activation=activation,
+                               per_sample=ps)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -267,4 +314,6 @@ def fused_decoder_layer(
         vec(params["norm2"]["scale"]), vec(params["norm2"]["bias"]),
         vec(params["norm3"]["scale"]), vec(params["norm3"]["bias"]),
     )
+    if T != T0:
+        out = out[:B * T].reshape(B, T, D)[:, :T0].reshape(BT, D)
     return out[:BT]

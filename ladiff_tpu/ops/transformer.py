@@ -40,6 +40,34 @@ def get_activation(name: str) -> Callable[[jax.Array], jax.Array]:
     raise ValueError(f"activation should be relu/gelu/glu, not {name}")
 
 
+
+def _train_fused_tail(mod, resid_sum, ln_a, ln_b, drop_rate):
+    """Training-mode fused FFN tail (fwd+bwd Pallas, in-kernel dropout).
+
+    Returns None when the fused path does not apply (shape/backend gates,
+    or no dropout rng available); the caller falls back to XLA ops.
+    """
+    D = mod.d_model
+    if not (D % 128 == 0 and mod.ff_size % 128 == 0
+            and mod.activation in ("relu", "gelu") and pallas_enabled()
+            and (drop_rate == 0.0 or mod.has_rng("dropout"))):
+        return None
+    from ladiff_tpu.ops.pallas_train_ffn import train_postnorm_ffn
+    if drop_rate > 0.0:
+        seed = jax.random.randint(mod.make_rng("dropout"), (), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    else:
+        seed = jnp.int32(0)
+    B, S, _ = resid_sum.shape
+    out = train_postnorm_ffn(
+        resid_sum.reshape(B * S, D).astype(mod.dtype),
+        mod.linear1.kernel, mod.linear1.bias,
+        mod.linear2.kernel, mod.linear2.bias,
+        ln_a.scale, ln_a.bias, ln_b.scale, ln_b.bias,
+        seed, mod.activation, float(drop_rate))
+    return out.reshape(B, S, D)
+
+
 class TransformerEncoderLayer(nn.Module):
     """Post-norm (default) or pre-norm encoder layer
     (reference: cross_attention.py:264-329)."""
@@ -83,6 +111,11 @@ class TransformerEncoderLayer(nn.Module):
                 self.norm2.scale, self.norm2.bias,
                 activation=self.activation)
             return out.reshape(B, S, D)
+        if not deterministic:
+            fused = _train_fused_tail(self, resid_sum, self.norm1,
+                                      self.norm2, self.dropout)
+            if fused is not None:
+                return fused
         act = get_activation(self.activation)
         h = self.norm1(resid_sum)
         y = self.linear2(self.drop(act(self.linear1(h)),
@@ -170,6 +203,11 @@ class TransformerDecoderLayer(nn.Module):
                 ln_a.scale, ln_a.bias, ln_b.scale, ln_b.bias,
                 activation=self.activation)
             return out.reshape(B, S, D)
+        if not deterministic:
+            fused = _train_fused_tail(self, resid_sum, ln_a, ln_b,
+                                      self.dropout)
+            if fused is not None:
+                return fused
         act = get_activation(self.activation)
         h = ln_a(resid_sum)
         y = self.linear2(self.drop_mod(act(self.linear1(h)),
@@ -223,9 +261,14 @@ class TransformerDecoderLayer(nn.Module):
                 mv.astype(jnp.float32),
                 params, T=T, L=L, H=self.num_heads,
                 activation=self.activation,
-                # sweepable at trace time (scripts/breakdown.py --sweep);
-                # 2 won the scan-amortized sweep on v5e (PERF.md)
-                block_samples=int(os.environ.get("LADIFF_DECODE_BLOCK", "2")))
+                # sweepable at trace time (scripts/breakdown.py --sweep).
+                # 2 wins on v5e; 1 (+ per-sample 8-aligned frame rows,
+                # pallas_decoder_layer) halves the block-diagonal attention
+                # FLOPs yet measures ~1.5 ms SLOWER per decode — per-GEMM
+                # fixed costs beat the FLOP saving at these shapes (PERF.md)
+                block_samples=int(os.environ.get("LADIFF_DECODE_BLOCK", "2")),
+                per_sample_attention=os.environ.get(
+                    "LADIFF_DECODE_PERSAMPLE", "1") == "1")
             return out.reshape(B, T, D)
         self_attn = self.self_attn
         cross_attn = self.multihead_attn

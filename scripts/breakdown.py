@@ -98,19 +98,28 @@ def main():
     decode_many = scanned(decode_body)
 
     if "--sweep" in sys.argv:
-        # decode block_samples sweep under the scan-amortized protocol
-        # (the original per-call sweep was polluted by dispatch wobble)
-        prev_bb = os.environ.get("LADIFF_DECODE_BLOCK")
-        for bb in (1, 2, 4):
-            os.environ["LADIFF_DECODE_BLOCK"] = str(bb)
-            t = timeit(scanned(decode_body), params, rng0, iters=2,
-                       overhead=overhead) / K
-            print(json.dumps({"stage": f"decode_bb{bb}",
-                              "ms_per_batch": round(t * 1e3, 2)}))
-        if prev_bb is None:
-            del os.environ["LADIFF_DECODE_BLOCK"]
-        else:
-            os.environ["LADIFF_DECODE_BLOCK"] = prev_bb
+        # decode (block_samples, per_sample_attention) sweep under the
+        # scan-amortized protocol (the original per-call sweep was polluted
+        # by dispatch wobble).  ps=1 at bb>=2 splits the in-kernel attention
+        # into per-sample [T,T] blocks (half the masked-score FLOPs).
+        prev = {k: os.environ.get(k) for k in
+                ("LADIFF_DECODE_BLOCK", "LADIFF_DECODE_PERSAMPLE")}
+        try:
+            # bb8 joint layout exceeded VMEM ([8T,8T] scores); per-sample
+            # splitting shrinks scores to 8x[T,T], so retry bb8 with ps=1
+            for bb, ps in ((1, 1), (2, 0), (2, 1), (4, 0), (4, 1), (8, 1)):
+                os.environ["LADIFF_DECODE_BLOCK"] = str(bb)
+                os.environ["LADIFF_DECODE_PERSAMPLE"] = str(ps)
+                t = timeit(scanned(decode_body), params, rng0, iters=2,
+                           overhead=overhead) / K
+                print(json.dumps({"stage": f"decode_bb{bb}_ps{ps}",
+                                  "ms_per_batch": round(t * 1e3, 2)}))
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
         return
 
     t_sample = timeit(sample_many, params, rng0, iters=2,

@@ -150,20 +150,13 @@ def vae_breakdown(system, vae_params, batch, rng, args, overhead):
     Differences between rows bound individual components (dropout RNG,
     the feats2joints joint-loss chain, encoder vs decoder fwd+bwd); each
     row is scan-amortized over --iters evaluations like the step bench.
+
+    Rows measure the PRODUCTION path (training-mode fused kernels engage
+    where the train step would use them); only the ``train=False``
+    variants trace under ``no_pallas()``, because they differentiate
+    deterministic forwards and the inference kernels define no VJP.
     """
-    # the train=False variants differentiate through deterministic forward
-    # passes, which would otherwise pick the fused Pallas kernels (no VJP);
-    # always restore the caller's value (it is a documented A/B knob and
-    # the subsequent diffusion_train bench in this process depends on it)
-    prev_disable = os.environ.get("LADIFF_DISABLE_PALLAS")
-    os.environ["LADIFF_DISABLE_PALLAS"] = "1"
-    try:
-        _vae_breakdown_body(system, vae_params, batch, rng, args, overhead)
-    finally:
-        if prev_disable is None:
-            os.environ.pop("LADIFF_DISABLE_PALLAS", None)
-        else:
-            os.environ["LADIFF_DISABLE_PALLAS"] = prev_disable
+    _vae_breakdown_body(system, vae_params, batch, rng, args, overhead)
 
 
 def _vae_breakdown_body(system, vae_params, batch, rng, args, overhead):
@@ -250,7 +243,14 @@ def _vae_breakdown_body(system, vae_params, batch, rng, args, overhead):
                 return tot
 
         jitted = jax.jit(many)
-        np.asarray(jitted(arg, rng))
+        # trace-time scope: the deterministic-forward rows need the XLA
+        # path for AD; the timed call below replays the cached executable
+        import contextlib
+        from ladiff_tpu.ops.pallas_common import no_pallas
+        scope = (no_pallas() if name == "no_dropout_grad"
+                 else contextlib.nullcontext())
+        with scope:
+            np.asarray(jitted(arg, rng))
         t0 = time.perf_counter()
         np.asarray(jitted(arg, jax.random.key(9, impl=args.rng)))
         dt = (time.perf_counter() - t0 - overhead) / args.iters

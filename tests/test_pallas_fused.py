@@ -293,6 +293,76 @@ def test_fused_decoder_layer_no_masks(monkeypatch):
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
 
 
+def test_fused_decoder_layer_joint_attention_path(monkeypatch):
+    """per_sample_attention=False keeps the original joint (block-diagonal
+    masked) layout — must match the XLA module exactly like the default."""
+    from ladiff_tpu.ops.transformer import TransformerDecoderLayer
+
+    B, T, L, D, H = 3, 20, 5, 256, 4
+    rng = np.random.RandomState(9)
+    tgt = jnp.asarray(rng.randn(B, T, D).astype(np.float32) * 0.5)
+    mem = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+    tv = jnp.asarray(np.arange(T)[None, :] < np.array([[12], [20], [7]]))
+    mv = jnp.asarray(np.arange(L)[None, :] < np.array([[2], [5], [1]]))
+    layer = TransformerDecoderLayer(D, H, 1024, dropout=0.0,
+                                    activation="gelu")
+    params = layer.init(jax.random.PRNGKey(0), tgt, mem, tv, mv)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.random.RandomState(a.size % 983).randn(*a.shape)
+            .astype(np.float32)) * 0.05, params)
+    want = np.asarray(layer.apply(params, tgt, mem, tv, mv))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("LADIFF_DECODE_PERSAMPLE", "0")
+    got = _interpreted(
+        lambda: np.asarray(layer.apply(params, tgt, mem, tv, mv)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_train_postnorm_ffn_rate0_matches_xla():
+    """Training-mode fused tail at dropout 0: forward + EVERY gradient must
+    match the XLA chain (interpret mode; the dropout path needs the TPU
+    hardware PRNG and is validated by scripts/validate_train_fused.py)."""
+    from ladiff_tpu.ops.pallas_train_ffn import train_postnorm_ffn
+
+    rs = np.random.RandomState(0)
+    M, D, F = 40, 128, 256
+    args = tuple(jnp.asarray(a) for a in (
+        rs.randn(M, D).astype(np.float32) * 0.5,
+        rs.randn(D, F).astype(np.float32) * 0.05,
+        rs.randn(F).astype(np.float32) * 0.1,
+        rs.randn(F, D).astype(np.float32) * 0.05,
+        rs.randn(D).astype(np.float32) * 0.1,
+        (1 + 0.1 * rs.randn(D)).astype(np.float32),
+        0.1 * rs.randn(D).astype(np.float32),
+        (1 + 0.1 * rs.randn(D)).astype(np.float32),
+        0.1 * rs.randn(D).astype(np.float32)))
+    seed = jnp.int32(7)
+
+    def xla_ref(x, w1, b1, w2, b2, l1s, l1b, l2s, l2b):
+        def ln(v, s, b):
+            mu = v.mean(-1, keepdims=True)
+            var = ((v - mu) ** 2).mean(-1, keepdims=True)
+            return (v - mu) * jax.lax.rsqrt(var + 1e-5) * s + b
+        h = ln(x, l1s, l1b)
+        y = jax.nn.gelu(h @ w1 + b1, approximate=False) @ w2 + b2
+        return ln(h + y, l2s, l2b)
+
+    got = _interpreted(lambda: np.asarray(
+        train_postnorm_ffn(*args, seed, "gelu", 0.0)))
+    want = np.asarray(xla_ref(*args))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+    gk = _interpreted(lambda: jax.grad(
+        lambda *a: jnp.sum(train_postnorm_ffn(*a, seed, "gelu", 0.0) ** 2),
+        argnums=tuple(range(9)))(*args))
+    gx = jax.grad(lambda *a: jnp.sum(xla_ref(*a) ** 2),
+                  argnums=tuple(range(9)))(*args)
+    for i, (a, b) in enumerate(zip(gk, gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=f"grad argnum {i}")
+
+
 def test_md_encoder_prep_matches_inline(monkeypatch):
     """precompute_prep + per-step slices must give the same output as the
     layers computing their prep inline (both through the fused kernels)."""
@@ -326,3 +396,41 @@ def test_md_encoder_prep_matches_inline(monkeypatch):
 
     inline, with_prep = _interpreted(run)
     np.testing.assert_allclose(with_prep, inline, atol=1e-5, rtol=1e-5)
+
+
+def test_joint_stage_grad_with_fused_gates(monkeypatch):
+    """Differentiating the joint vae_diffusion loss with the fused-kernel
+    gates OPEN must work: the frozen encode is stop-gradient'd at the
+    params (stays out of the AD region) and the finetune-decoder generation
+    decode runs under no_pallas() (regression: on TPU this tripped
+    'Linearization failed' — inference kernels define no VJP)."""
+    from ladiff_tpu.models.ladiff import LADiffSystem
+
+    nfeats, T = 263, 16
+    system = LADiffSystem(
+        nfeats=nfeats, njoints=22, max_frames=T, latent_dim=(2, 256),
+        ff_size=128, num_layers=3, num_heads=4, dropout=0.0,
+        text_encoded_dim=48, num_inference_timesteps=2,
+        mean=np.zeros(nfeats, np.float32), std=np.ones(nfeats, np.float32))
+    params = system.init_params(jax.random.PRNGKey(0))  # pre-patch: XLA
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    rng = np.random.RandomState(0)
+    batch = {
+        "motion": jnp.asarray(rng.randn(2, T, nfeats).astype(np.float32) * .3),
+        "length": jnp.asarray(np.array([16, 9], np.int32)),
+        "text_emb": jnp.asarray(rng.randn(2, 1, 48).astype(np.float32)),
+    }
+    uncond = jnp.zeros((1, 1, 48), jnp.float32)
+
+    def loss(p):
+        total, _ = system.vae_diffusion_forward(
+            p, batch, jax.random.PRNGKey(1), uncond, train=True)
+        return total
+
+    g = _interpreted(lambda: jax.grad(loss)(params))
+    leaves = jax.tree.leaves(jax.tree.map(
+        lambda a: float(jnp.abs(a).max()), g))
+    assert np.isfinite(leaves).all()
+    # decoder finetune gradient actually flows
+    assert max(jax.tree.leaves(jax.tree.map(
+        lambda a: float(jnp.abs(a).max()), g["vae"]))) > 0
