@@ -17,12 +17,12 @@ end-to-end and the per-sample AdaLN scale/shift/value tensors stay [B, D]
 
 Attention trick: with T=9 latent + E=2 extra tokens per sample, a block of
 ``Bb`` samples is flattened to [Bb*T, D] rows and attention uses a
-block-diagonal same-sample bias.  Per-head q/k live in 128-lane-aligned
-head slots (weights remapped by pad_head_columns), so per-head score GEMMs
-slice at legal lane boundaries with a K=128 contraction — Mosaic can't do
-sub-128-lane slices, and a lane-masked full-D product would double the MXU
-passes.  The context accumulation still uses a disjoint per-head lane mask
-on the output columns.
+block-diagonal same-sample bias.  Per-head q/k — and values (default,
+LADIFF_MD_VSLOT) — live in 128-lane-aligned head slots (weights remapped
+by pad_head_columns / pad_head_rows), so per-head score AND value GEMMs
+slice at legal lane boundaries with a 128-lane head dim — Mosaic can't do
+sub-128-lane slices, and the lane-masked full-D products they replace
+cost H× the value FLOPs.
 
 Exactly equivalent to MDTransformerLayer's XLA path (the reference
 mdiff_transformer.py:265-321 semantics); verified in
@@ -58,11 +58,11 @@ def _kernel(x_ref, extra_ref, kvalid_ref, value_ref,
             ca_lns_ref, ca_lnb_ref, wca_ref, bca_ref,
             f_w1_ref, f_b1_ref, f_w2_ref, f_b2_ref,
             f_lns_ref, f_lnb_ref, f_wp_ref, f_bp_ref,
-            out_ref, *, T: int, E: int, H: int):
+            out_ref, *, T: int, E: int, H: int, v_slots: bool):
     Bb = value_ref.shape[0]
     M = Bb * T           # latent rows in this block
     KE = Bb * E          # extra rows
-    D = wout_ref.shape[0]
+    D = x_ref.shape[1]
     Dh = D // H
     HP = H * 128
     dtype = x_ref.dtype
@@ -70,8 +70,9 @@ def _kernel(x_ref, extra_ref, kvalid_ref, value_ref,
     x = x_ref[...]
 
     # --- self-attention over [latents ; extras] -------------------------
-    # wqkv is pre-remapped to [D, 2*H*128 + D]: q/k in 128-lane head slots
-    # (see pad_head_columns), v in the trailing D lanes
+    # wqkv is pre-remapped so q/k — and, with v_slots, values too — live in
+    # 128-lane head slots (see pad_head_columns); otherwise v keeps the
+    # trailing D lanes
     qkv = _dot(x, wqkv_ref[...]) + bqkv_ref[...].astype(jnp.float32)
     q_pad = qkv[:, :HP].astype(dtype)
     kx = qkv[:, HP:2 * HP]
@@ -81,7 +82,7 @@ def _kernel(x_ref, extra_ref, kvalid_ref, value_ref,
     k_pad = jnp.concatenate([kx, qkv_e[:, HP:2 * HP]],
                             axis=0).astype(dtype)          # [M+KE, HP]
     v = jnp.concatenate([vx, qkv_e[:, 2 * HP:]],
-                        axis=0).astype(dtype)              # [M+KE, D]
+                        axis=0).astype(dtype)   # [M+KE, D] or slots [.., HP]
 
     # block-diagonal same-sample bias + latent-row key validity
     rq = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) // T
@@ -97,15 +98,29 @@ def _kernel(x_ref, extra_ref, kvalid_ref, value_ref,
     bias = jnp.where(same, 0.0, _NEG_INF)
 
     scale = 1.0 / (Dh ** 0.5)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1) // Dh
-    ctx = jnp.zeros((M, D), jnp.float32)
-    for h in range(H):
-        qh = q_pad[:, h * 128:(h + 1) * 128]
-        kh = k_pad[:, h * 128:(h + 1) * 128]
-        s = _dot_t(qh, kh) * scale + bias                # [M, M+KE] f32
-        w = jax.nn.softmax(s, axis=-1).astype(dtype)
-        hm = (lane == h).astype(jnp.float32)
-        ctx = ctx + _dot(w, v) * hm
+    if v_slots:
+        # values in head slots: each value GEMM contracts the head's own
+        # 128-lane slot instead of a lane-masked full-D product (half the
+        # value-side MXU passes for Dh=64); ctx stays in slot layout and
+        # the out projection is pad_head_rows-remapped to [H*128, D]
+        outs = []
+        for h in range(H):
+            qh = q_pad[:, h * 128:(h + 1) * 128]
+            kh = k_pad[:, h * 128:(h + 1) * 128]
+            s = _dot_t(qh, kh) * scale + bias            # [M, M+KE] f32
+            w = jax.nn.softmax(s, axis=-1).astype(dtype)
+            outs.append(_dot(w, v[:, h * 128:(h + 1) * 128]))
+        ctx = jnp.concatenate(outs, axis=1)              # [M, HP]
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1) // Dh
+        ctx = jnp.zeros((M, D), jnp.float32)
+        for h in range(H):
+            qh = q_pad[:, h * 128:(h + 1) * 128]
+            kh = k_pad[:, h * 128:(h + 1) * 128]
+            s = _dot_t(qh, kh) * scale + bias            # [M, M+KE] f32
+            w = jax.nn.softmax(s, axis=-1).astype(dtype)
+            hm = (lane == h).astype(jnp.float32)
+            ctx = ctx + _dot(w, v) * hm
 
     attn = _dot(ctx.astype(dtype), wout_ref[...]) \
         + bout_ref[...].astype(jnp.float32)
@@ -205,23 +220,36 @@ def fused_md_layer(
     vec = lambda a: a.reshape(1, -1)
     # remap q/k projections into 128-lane head slots (exact zero-pad): the
     # per-head score GEMMs then contract over K=128 instead of a lane-
-    # masked full-D product (half the MXU passes)
-    from ladiff_tpu.ops.pallas_decoder_layer import pad_head_columns
+    # masked full-D product (half the MXU passes).  With v_slots (default)
+    # the value projection and the out projection move to the slot layout
+    # too (zero-pad columns / rows), halving the value-side passes as well;
+    # LADIFF_MD_VSLOT=0 keeps the lane-masked value path for A/B timing.
+    from ladiff_tpu.ops.pallas_decoder_layer import (pad_head_columns,
+                                                     pad_head_rows)
+    import os
+    v_slots = os.environ.get("LADIFF_MD_VSLOT", "1") == "1"
     Dh = D // H
     ipk = c(sa["self_attn"]["in_proj_kernel"])
     ipb = c(sa["self_attn"]["in_proj_bias"])
+    vpart_k = (pad_head_columns(ipk[:, 2 * D:], H, Dh) if v_slots
+               else ipk[:, 2 * D:])
+    vpart_b = (pad_head_columns(ipb[2 * D:], H, Dh) if v_slots
+               else ipb[2 * D:])
     wqkv_pad = jnp.concatenate([
         pad_head_columns(ipk[:, :D], H, Dh),
         pad_head_columns(ipk[:, D:2 * D], H, Dh),
-        ipk[:, 2 * D:],
+        vpart_k,
     ], axis=1)
     bqkv_pad = jnp.concatenate([
         pad_head_columns(ipb[:D], H, Dh),
         pad_head_columns(ipb[D:2 * D], H, Dh),
-        ipb[2 * D:],
+        vpart_b,
     ], axis=-1)
-    HPW = 2 * H * 128 + D
-    kernel = functools.partial(_kernel, T=T, E=E, H=H)
+    wout = c(sa["self_attn"]["out_proj"]["kernel"])
+    if v_slots:
+        wout = pad_head_rows(wout, H, Dh)
+    HPW = 2 * H * 128 + (H * 128 if v_slots else D)
+    kernel = functools.partial(_kernel, T=T, E=E, H=H, v_slots=v_slots)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -232,7 +260,7 @@ def fused_md_layer(
             per_s, ps_or_row(ca_scale), ps_or_row(ca_shift),
             ps_or_row(ffn_scale), ps_or_row(ffn_shift),
             w((D, HPW)), w((1, HPW)),             # qkv (padded heads)
-            w((D, D)), vecD,                      # out proj
+            w(wout.shape), vecD,                  # out proj (slot rows)
             vecD, vecD,                           # ln1
             w((D, F1)), w((1, F1)), w((F1, D)), vecD,  # sa ffn
             vecD, vecD,                           # ln2
@@ -248,7 +276,7 @@ def fused_md_layer(
         x, extra.astype(dtype), kvalid.astype(jnp.float32),
         c(value), c(ca_scale), c(ca_shift), c(ffn_scale), c(ffn_shift),
         wqkv_pad, vec(bqkv_pad),
-        c(sa["self_attn"]["out_proj"]["kernel"]),
+        wout,
         vec(c(sa["self_attn"]["out_proj"]["bias"])),
         vec(sa["norm1"]["scale"]), vec(sa["norm1"]["bias"]),
         c(sa["linear1"]["kernel"]), vec(c(sa["linear1"]["bias"])),

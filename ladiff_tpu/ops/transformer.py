@@ -262,11 +262,13 @@ class TransformerDecoderLayer(nn.Module):
                 params, T=T, L=L, H=self.num_heads,
                 activation=self.activation,
                 # sweepable at trace time (scripts/breakdown.py --sweep).
-                # 2 wins on v5e; 1 (+ per-sample 8-aligned frame rows,
-                # pallas_decoder_layer) halves the block-diagonal attention
-                # FLOPs yet measures ~1.5 ms SLOWER per decode — per-GEMM
-                # fixed costs beat the FLOP saving at these shapes (PERF.md)
-                block_samples=int(os.environ.get("LADIFF_DECODE_BLOCK", "2")),
+                # v5e winner: bb8 WITH the per-sample attention split
+                # (12.8 ms/batch-256 vs 14.6 for the old bb2 joint layout):
+                # per-sample [T,T] score blocks remove the block-diagonal
+                # waste, which also shrinks VMEM enough to double the
+                # sample block twice (fewer grid steps -> less weight
+                # streaming); bb16 exceeds the 16M VMEM scope (PERF.md)
+                block_samples=int(os.environ.get("LADIFF_DECODE_BLOCK", "8")),
                 per_sample_attention=os.environ.get(
                     "LADIFF_DECODE_PERSAMPLE", "1") == "1")
             return out.reshape(B, T, D)

@@ -97,6 +97,26 @@ def main():
 
     decode_many = scanned(decode_body)
 
+    if "--md-sweep" in sys.argv:
+        # sampler A/B: MD-kernel value layout (slot vs lane-masked)
+        prev = os.environ.get("LADIFF_MD_VSLOT")
+        try:
+            for vs in ("1", "0"):
+                os.environ["LADIFF_MD_VSLOT"] = vs
+                body = lambda p, r: jnp.float32(jnp.sum(
+                    system.diffusion_reverse(
+                        p["denoiser"], text_cond, text_uncond, lengths, r)))
+                t = timeit(scanned(body), params, rng0, iters=2,
+                           overhead=overhead) / K
+                print(json.dumps({"stage": f"sampler_vslot{vs}",
+                                  "ms_per_batch": round(t * 1e3, 2)}))
+        finally:
+            if prev is None:
+                os.environ.pop("LADIFF_MD_VSLOT", None)
+            else:
+                os.environ["LADIFF_MD_VSLOT"] = prev
+        return
+
     if "--sweep" in sys.argv:
         # decode (block_samples, per_sample_attention) sweep under the
         # scan-amortized protocol (the original per-call sweep was polluted
@@ -106,7 +126,8 @@ def main():
                 ("LADIFF_DECODE_BLOCK", "LADIFF_DECODE_PERSAMPLE")}
         try:
             # bb8 joint layout exceeded VMEM ([8T,8T] scores); per-sample
-            # splitting shrinks scores to 8x[T,T], so retry bb8 with ps=1
+            # splitting shrinks scores to 8x[T,T], which admits bb8 (the
+            # v5e winner, 12.79 ms).  bb16 OOMs scoped VMEM (22.4M > 16M)
             for bb, ps in ((1, 1), (2, 0), (2, 1), (4, 0), (4, 1), (8, 1)):
                 os.environ["LADIFF_DECODE_BLOCK"] = str(bb)
                 os.environ["LADIFF_DECODE_PERSAMPLE"] = str(ps)
