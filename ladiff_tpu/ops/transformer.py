@@ -68,6 +68,39 @@ def _train_fused_tail(mod, resid_sum, ln_a, ln_b, drop_rate):
     return out.reshape(B, S, D)
 
 
+def _train_fused_attn(mod, attn_mod, x, key_valid, drop_rate):
+    """Training-mode fused self-attention segment (fwd+bwd Pallas with
+    in-kernel dropout): returns ``x + dropout(self_attn(x))`` or None when
+    the fused path does not apply."""
+    D = mod.d_model
+    # S gate: the per-sample in-kernel attention degenerates to tiny
+    # sub-MXU GEMMs on short token streams (the MD denoiser's ~11-token
+    # sa_block measured 8.2 vs 6.7 ms/step through it) — those stay on
+    # the XLA path, which has its own head-fused tiny-attention layout
+    if not (D % 128 == 0 and D // mod.num_heads <= 128 and x.shape[1] >= 32
+            and not mod.is_initializing() and pallas_enabled()
+            and (drop_rate == 0.0 or mod.has_rng("dropout"))):
+        return None
+    from ladiff_tpu.ops.pallas_train_attention import train_self_attention
+    if drop_rate > 0.0:
+        seed = jax.random.randint(mod.make_rng("dropout"), (), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    else:
+        seed = jnp.int32(0)
+    B, S, _ = x.shape
+    kv = (key_valid if key_valid is not None
+          else jnp.ones((B, S), bool))
+    p = attn_mod.variables["params"]
+    out = train_self_attention(
+        x.reshape(B * S, D).astype(mod.dtype),
+        kv.reshape(B * S, 1).astype(jnp.float32),
+        p["in_proj_kernel"], p["in_proj_bias"],
+        p["out_proj"]["kernel"], p["out_proj"]["bias"],
+        seed, mod.num_heads, S, float(drop_rate),
+        int(os.environ.get("LADIFF_TRAIN_ATTN_BLOCK", "2")))
+    return out.reshape(B, S, D)
+
+
 class TransformerEncoderLayer(nn.Module):
     """Post-norm (default) or pre-norm encoder layer
     (reference: cross_attention.py:264-329)."""
@@ -155,6 +188,11 @@ class TransformerEncoderLayer(nn.Module):
             kv = jnp.concatenate([qk, extra_kv.astype(qk.dtype)], axis=1)
             x2 = attn(qk, kv, kv, key_valid, deterministic=deterministic)
         else:
+            if not deterministic and pos is None:
+                resid = _train_fused_attn(self, self.self_attn, src,
+                                          key_valid, self.dropout)
+                if resid is not None:
+                    return self._ffn_tail(resid, deterministic)
             x2 = attn(qk, qk, src, key_valid, deterministic=deterministic)
         return self._ffn_tail(src + drop(x2), deterministic)
 
@@ -296,9 +334,18 @@ class TransformerDecoderLayer(nn.Module):
             x2 = linear2(drop(act(linear1(x2))))
             tgt = tgt + drop(x2)
         else:
-            qk = with_pos(tgt, query_pos)
-            x2 = self_attn(qk, qk, tgt, tgt_key_valid, deterministic=deterministic)
-            tgt = norm1(tgt + drop(x2))
+            if not deterministic and query_pos is None:
+                resid = _train_fused_attn(self, self.self_attn, tgt,
+                                          tgt_key_valid, self.dropout)
+            else:
+                resid = None
+            if resid is not None:
+                tgt = norm1(resid)
+            else:
+                qk = with_pos(tgt, query_pos)
+                x2 = self_attn(qk, qk, tgt, tgt_key_valid,
+                               deterministic=deterministic)
+                tgt = norm1(tgt + drop(x2))
             out = cross_attn(with_pos(tgt, query_pos), with_pos(memory, pos), memory,
                              memory_key_valid, deterministic=deterministic,
                              return_weights=return_cross_weights)

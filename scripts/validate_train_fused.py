@@ -120,6 +120,93 @@ def check_kernel():
     print(f"mean(out) dropout={m_out:.4f} vs nodrop={m_ref:.4f}")
 
 
+def check_attention_kernel():
+    from ladiff_tpu.ops.pallas_train_attention import train_self_attention
+
+    rs = np.random.RandomState(2)
+    B, S, D, H = 8, 49, 256, 4
+    M = B * S
+    x = jnp.asarray(rs.randn(M, D).astype(np.float32) * 0.5)
+    lens = rs.randint(8, S + 1, B)
+    kv = jnp.asarray((np.arange(S)[None, :] < lens[:, None])
+                     .astype(np.float32).reshape(M, 1))
+    wqkv = jnp.asarray(rs.randn(D, 3 * D).astype(np.float32) * 0.05)
+    bqkv = jnp.asarray(rs.randn(3 * D).astype(np.float32) * 0.1)
+    wout = jnp.asarray(rs.randn(D, D).astype(np.float32) * 0.05)
+    bout = jnp.asarray(rs.randn(D).astype(np.float32) * 0.1)
+    seed = jnp.int32(11)
+
+    def xla_ref(x, wqkv, bqkv, wout, bout):
+        qkv = x.reshape(B, S, D) @ wqkv + bqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        Dh = D // H
+        qh = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh / np.sqrt(Dh), kh)
+        mask = kv.reshape(B, S)[:, None, None, :] > 0.5
+        logits = jnp.where(mask, logits, -1e9)
+        w = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, D)
+        return (x.reshape(B, S, D) + (ctx @ wout + bout)).reshape(M, D)
+
+    args = (x, wqkv, bqkv, wout, bout)
+    out = jax.jit(lambda *a: train_self_attention(
+        a[0], kv, a[1], a[2], a[3], a[4], seed, H, S, 0.0))(*args)
+    want = jax.jit(xla_ref)(*args)
+    d = float(jnp.abs(out - want).max())
+    print(f"attn rate0 fwd max diff: {d:.2e}")
+    assert d < 5e-3, d
+
+    gk = jax.jit(jax.grad(
+        lambda *a: jnp.sum(train_self_attention(
+            a[0], kv, a[1], a[2], a[3], a[4], seed, H, S, 0.0) ** 2),
+        argnums=(0, 1, 2, 3, 4)))(*args)
+    gx = jax.jit(jax.grad(lambda *a: jnp.sum(xla_ref(*a) ** 2),
+                          argnums=(0, 1, 2, 3, 4)))(*args)
+    for i, (a, b) in enumerate(zip(gk, gx)):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        print(f"attn rate0 grad[{i}] rel diff: {rel:.2e}")
+        assert rel < 2e-2, (i, rel)
+
+    # dropout: determinism per seed, variation across seeds, FD consistency
+    f = jax.jit(lambda s, *a: train_self_attention(
+        a[0], kv, a[1], a[2], a[3], a[4], s, H, S, 0.3))
+    o1, o2, o3 = f(seed, *args), f(seed, *args), f(jnp.int32(12), *args)
+    assert float(jnp.abs(o1 - o2).max()) == 0.0, "attn seed-determinism"
+    assert float(jnp.abs(o1 - o3).max()) > 1e-3, "attn seed has no effect"
+    print("attn dropout: deterministic per seed, varies across seeds")
+
+    # finite differences on a SMALL probe (like the FFN check): on the
+    # full tensor the f32 cancellation noise of the sum-of-squares loss
+    # grows as 1/eps and swamps the signal (measured 2.4e-2 @ eps 3e-2 vs
+    # 8.9e-2 @ 1e-2 — noise-floor scaling, not a mask mismatch).  A true
+    # fwd/bwd mask disagreement would show an eps-INDEPENDENT bias.
+    Bs, Ss, Ds = 2, 16, 128
+    Ms = Bs * Ss
+    xs = jnp.asarray(rs.randn(Ms, Ds).astype(np.float32) * 0.5)
+    kvs = jnp.ones((Ms, 1), jnp.float32)
+    s_wqkv = jnp.asarray(rs.randn(Ds, 3 * Ds).astype(np.float32) * 0.05)
+    s_bqkv = jnp.asarray(rs.randn(3 * Ds).astype(np.float32) * 0.1)
+    s_wout = jnp.asarray(rs.randn(Ds, Ds).astype(np.float32) * 0.05)
+    s_bout = jnp.asarray(rs.randn(Ds).astype(np.float32) * 0.1)
+    v = jnp.asarray(rs.randn(Ms, Ds).astype(np.float32))
+    loss = jax.jit(lambda x0: jnp.sum(train_self_attention(
+        x0, kvs, s_wqkv, s_bqkv, s_wout, s_bout, seed, H, Ss, 0.3) ** 2))
+    g = jax.jit(jax.grad(lambda x0: jnp.sum(train_self_attention(
+        x0, kvs, s_wqkv, s_bqkv, s_wout, s_bout, seed, H, Ss, 0.3) ** 2))
+        )(xs)
+    an = float(jnp.sum(g * v))
+    rels = []
+    for eps in (1e-1, 3e-2):
+        fd = float(loss(xs + eps * v) - loss(xs - eps * v)) / (2 * eps)
+        rel = abs(fd - an) / (abs(an) + 1e-9)
+        rels.append(rel)
+        print(f"attn dropout fd eps={eps}: rel={rel:.3e}")
+    assert min(rels) < 2e-2, rels
+
+
 def check_train_step():
     from ladiff_tpu.models.ladiff import LADiffSystem
 
@@ -205,5 +292,6 @@ def check_train_step():
 if __name__ == "__main__":
     assert jax.default_backend() == "tpu", jax.default_backend()
     check_kernel()
+    check_attention_kernel()
     check_train_step()
     print("ALL TRAIN-FUSED CHECKS PASSED")

@@ -434,3 +434,87 @@ def test_joint_stage_grad_with_fused_gates(monkeypatch):
     # decoder finetune gradient actually flows
     assert max(jax.tree.leaves(jax.tree.map(
         lambda a: float(jnp.abs(a).max()), g["vae"]))) > 0
+
+
+def test_train_self_attention_rate0_matches_xla():
+    """Fused training self-attention at dropout 0: forward + every gradient
+    must match the XLA chain (interpret mode; the dropout path needs the
+    TPU hardware PRNG — scripts/validate_train_fused.py)."""
+    from ladiff_tpu.ops.pallas_train_attention import train_self_attention
+
+    rs = np.random.RandomState(1)
+    B, S, D, H = 3, 12, 256, 4
+    M = B * S
+    x = jnp.asarray(rs.randn(M, D).astype(np.float32) * 0.5)
+    kv = jnp.asarray((np.arange(S)[None, :]
+                      < np.array([[8], [12], [5]])).astype(np.float32)
+                     .reshape(M, 1))
+    wqkv = jnp.asarray(rs.randn(D, 3 * D).astype(np.float32) * 0.05)
+    bqkv = jnp.asarray(rs.randn(3 * D).astype(np.float32) * 0.1)
+    wout = jnp.asarray(rs.randn(D, D).astype(np.float32) * 0.05)
+    bout = jnp.asarray(rs.randn(D).astype(np.float32) * 0.1)
+    seed = jnp.int32(3)
+
+    def xla_ref(x, wqkv, bqkv, wout, bout):
+        qkv = x.reshape(B, S, D) @ wqkv + bqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        Dh = D // H
+        qh = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh / np.sqrt(Dh), kh)
+        mask = kv.reshape(B, S)[:, None, None, :] > 0.5
+        logits = jnp.where(mask, logits, -1e9)
+        w = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, D)
+        return (x.reshape(B, S, D) + (ctx @ wout + bout)).reshape(M, D)
+
+    got = _interpreted(lambda: np.asarray(train_self_attention(
+        x, kv, wqkv, bqkv, wout, bout, seed, H, S, 0.0)))
+    want = np.asarray(xla_ref(x, wqkv, bqkv, wout, bout))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    gk = _interpreted(lambda: jax.grad(
+        lambda *a: jnp.sum(train_self_attention(
+            a[0], kv, a[1], a[2], a[3], a[4], seed, H, S, 0.0) ** 2),
+        argnums=(0, 1, 2, 3, 4))(x, wqkv, bqkv, wout, bout))
+    gx = jax.grad(lambda *a: jnp.sum(xla_ref(*a) ** 2),
+                  argnums=(0, 1, 2, 3, 4))(x, wqkv, bqkv, wout, bout)
+    for i, (a, b) in enumerate(zip(gk, gx)):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 2e-4, (i, rel)
+
+
+def test_train_fused_layer_rate0_matches_deterministic(monkeypatch):
+    """With dropout 0, a TRAINING forward through the fused attention +
+    fused FFN tail must equal the layer's deterministic XLA output — for
+    the encoder layer and the decoder layer's self-attention segment."""
+    from ladiff_tpu.ops.transformer import (TransformerDecoderLayer,
+                                            TransformerEncoderLayer)
+
+    rng = np.random.RandomState(5)
+    # S >= 32: below that the train-attention kernel gates itself off
+    # (tiny streams stay on XLA) and this test would not exercise it
+    B, S, L, D, H = 2, 35, 4, 256, 4
+    src = jnp.asarray(rng.randn(B, S, D).astype(np.float32) * 0.5)
+    mem = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+    kvalid = jnp.asarray(np.arange(S)[None, :] < np.array([[21], [35]]))
+    mvalid = jnp.asarray(np.arange(L)[None, :] < np.array([[2], [4]]))
+
+    enc = TransformerEncoderLayer(D, H, 1024, dropout=0.0, activation="gelu")
+    p_enc = enc.init(jax.random.PRNGKey(0), src, kvalid)
+    want = np.asarray(enc.apply(p_enc, src, kvalid))  # deterministic XLA
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = _interpreted(lambda: np.asarray(enc.apply(
+        p_enc, src, kvalid, deterministic=False)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+    monkeypatch.undo()
+    dec = TransformerDecoderLayer(D, H, 1024, dropout=0.0, activation="gelu")
+    p_dec = dec.init(jax.random.PRNGKey(1), src, mem, kvalid, mvalid)
+    want = np.asarray(dec.apply(p_dec, src, mem, kvalid, mvalid))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = _interpreted(lambda: np.asarray(dec.apply(
+        p_dec, src, mem, kvalid, mvalid, deterministic=False)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
