@@ -139,7 +139,12 @@ def run_training(cfg, dm: T2MDataModule, logger,
     """Train the configured stage; returns the checkpoint directory."""
     stage = str(cfg.TRAIN.STAGE)
     system = build_system(cfg, dm)
-    mesh = make_mesh()
+    # TRAIN.TENSOR_PARALLEL > 1 folds that many devices into the mesh's
+    # ``model`` axis (Megatron-style weight sharding, parallel/tp.py);
+    # the default 1-wide model axis is plain data parallelism (the
+    # reference's DDP equivalent)
+    n_model = int(cfg.TRAIN.get("TENSOR_PARALLEL", 1) or 1)
+    mesh = make_mesh(n_model=n_model)
     n_dev = int(np.prod(mesh.devices.shape))
     exp_dir = cfg.get("FOLDER_EXP", ".")
     ckpt_dir = pjoin(exp_dir, "checkpoints")
@@ -233,6 +238,12 @@ def run_training(cfg, dm: T2MDataModule, logger,
                 state = state.replace(params=tree["params"]["denoiser"])
                 vae_params = tree["params"]["vae"]
             logger.info(f"resumed from epoch {start_epoch}")
+
+    if n_model > 1:
+        # lay the (possibly restored) state out with the TP weight specs;
+        # the jitted step then inherits the shardings from its arguments
+        from ladiff_tpu.parallel.tp import shard_train_state
+        state = shard_train_state(state, mesh)
 
     end_epoch = max_epochs if max_epochs is not None else int(cfg.TRAIN.END_EPOCH)
     save_every = int(cfg.LOGGER.get("SACE_CHECKPOINT_EPOCH", 200))

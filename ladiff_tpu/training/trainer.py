@@ -20,7 +20,7 @@ from flax.training import train_state
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ladiff_tpu.models.ladiff import LADiffSystem
-from ladiff_tpu.parallel.mesh import DATA_AXIS
+from ladiff_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 __all__ = ["TrainState", "make_optimizer", "create_train_state",
            "make_vae_train_step", "make_diffusion_train_step",
@@ -52,6 +52,31 @@ def _shardings(mesh: Mesh):
     return repl, data
 
 
+def _jit_step(step, mesh: Mesh, batch_sh, repl):
+    """jit a train step for the mesh.
+
+    DP mesh (model axis 1): explicit replicated state shardings, as before.
+    TP mesh (model axis > 1): the state arrives device_put with the
+    ``parallel.tp`` specs, so shardings are inferred from the committed
+    arguments, and the trace runs under ``no_pallas()`` — the SPMD
+    partitioner cannot split the fused kernels' custom calls.
+    """
+    if mesh.shape[MODEL_AXIS] <= 1:
+        jitted = jax.jit(step, in_shardings=(repl, batch_sh, repl),
+                         out_shardings=(repl, repl), donate_argnums=(0,))
+        jitted.raw_step = step
+        return jitted
+    from ladiff_tpu.ops.pallas_common import no_pallas
+
+    def step_xla(state, batch, rng):
+        with no_pallas():
+            return step(state, batch, rng)
+
+    jitted = jax.jit(step_xla, donate_argnums=(0,))
+    jitted.raw_step = step_xla
+    return jitted
+
+
 def make_vae_train_step(system: LADiffSystem, mesh: Mesh) -> Callable:
     """jitted (state, batch, rng) -> (state, logs); stage-1 VAE training."""
     repl, data = _shardings(mesh)
@@ -68,14 +93,7 @@ def make_vae_train_step(system: LADiffSystem, mesh: Mesh) -> Callable:
         return state, logs
 
     batch_sh = {"motion": data, "length": data}
-    jitted = jax.jit(
-        step,
-        in_shardings=(repl, batch_sh, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
-    jitted.raw_step = step  # unjitted body, e.g. for scan-amortized benches
-    return jitted
+    return _jit_step(step, mesh, batch_sh, repl)
 
 
 def make_diffusion_train_step(system: LADiffSystem, mesh: Mesh,
@@ -103,14 +121,7 @@ def make_diffusion_train_step(system: LADiffSystem, mesh: Mesh,
 
     cond_key = "action" if system.condition == "action" else "text_emb"
     batch_sh = {"motion": data, "length": data, cond_key: data}
-    jitted = jax.jit(
-        step,
-        in_shardings=(repl, batch_sh, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
-    jitted.raw_step = step
-    return jitted
+    return _jit_step(step, mesh, batch_sh, repl)
 
 
 def make_vae_diffusion_train_step(system: LADiffSystem, mesh: Mesh,
@@ -134,11 +145,4 @@ def make_vae_diffusion_train_step(system: LADiffSystem, mesh: Mesh,
         return state, logs
 
     batch_sh = {"motion": data, "length": data, "text_emb": data}
-    jitted = jax.jit(
-        step,
-        in_shardings=(repl, batch_sh, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
-    jitted.raw_step = step
-    return jitted
+    return _jit_step(step, mesh, batch_sh, repl)
