@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["ln", "erf", "dot", "dot_t", "NEG_INF", "pallas_enabled",
-           "no_pallas"]
+           "no_pallas", "dropout_masks"]
 
 NEG_INF = -1e9  # large finite negative keeps softmax numerics safe in bf16
 
@@ -51,6 +51,30 @@ def pallas_enabled() -> bool:
     return (jax.default_backend() == "tpu"
             and not _no_pallas_ctx.get()
             and os.environ.get("LADIFF_DISABLE_PALLAS", "0") != "1")
+
+
+def dropout_masks(seed_ref, rate, shapes):
+    """Regenerable in-kernel dropout keep-masks, scaled by 1/keep.
+
+    Seeded by (user seed, program_id); the TRAINING kernels call this with
+    the SAME shape list in the same order in their forward and backward,
+    so both passes draw identical masks (the flash-style remat contract).
+    rate == 0 is specialized away at trace time.  Single home on purpose:
+    a change here (threshold rounding, seed folding) must apply to every
+    fused training kernel at once or fwd/bwd masks silently diverge.
+    """
+    if rate <= 0.0:
+        return [1.0 for _ in shapes]
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    keep = 1.0 - rate
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    thresh = jnp.uint32(keep * 4294967295.0)
+    out = []
+    for shape in shapes:
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        out.append((bits < thresh).astype(jnp.float32) / keep)
+    return out
 
 
 def ln(x, scale, bias):

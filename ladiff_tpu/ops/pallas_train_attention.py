@@ -34,7 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ladiff_tpu.ops.pallas_common import NEG_INF as _NEG_INF, dot as _dot, \
-    dot_t as _dot_t
+    dot_t as _dot_t, \
+    dropout_masks as _masks
 from ladiff_tpu.ops.pallas_decoder_layer import (pad_head_columns,
                                                  pad_head_rows)
 
@@ -51,21 +52,6 @@ def _unpad_head_rows(w_pad, H, Dh):
     """Inverse of pad_head_rows: [H*128, ...] -> [H*Dh, ...]."""
     return jnp.concatenate(
         [w_pad[h * 128:h * 128 + Dh] for h in range(H)], axis=0)
-
-
-def _masks(seed_ref, rate, shapes):
-    """Regenerable dropout keep-masks scaled by 1/keep (same draw order in
-    forward and backward; seeded by (user seed, program_id))."""
-    if rate <= 0.0:
-        return [1.0 for _ in shapes]
-    keep = 1.0 - rate
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-    thresh = jnp.uint32(keep * 4294967295.0)
-    out = []
-    for shape in shapes:
-        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        out.append((bits < thresh).astype(jnp.float32) / keep)
-    return out
 
 
 def _mask_shapes(Bb, Sp, H, M, D):

@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ladiff_tpu.ops.pallas_common import erf as _erf, dot as _dot
+from ladiff_tpu.ops.pallas_common import dropout_masks as _masks
 
 __all__ = ["train_postnorm_ffn"]
 
@@ -73,24 +74,6 @@ def _act_grad(a, activation):
     cdf = 0.5 * (1.0 + _erf(a * _INV_SQRT2))
     pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * a * a)
     return cdf + a * pdf
-
-
-def _masks(seed_ref, rate, shapes):
-    """Regenerable dropout keep-masks (scaled by 1/keep) for this block.
-
-    Seeded by (user seed, program_id): forward and backward draw the same
-    bits in the same order.  rate == 0 is specialized at trace time.
-    """
-    if rate <= 0.0:
-        return [1.0 for _ in shapes]
-    keep = 1.0 - rate
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-    thresh = jnp.uint32(keep * 4294967295.0)
-    out = []
-    for shape in shapes:
-        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        out.append((bits < thresh).astype(jnp.float32) / keep)
-    return out
 
 
 def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,

@@ -16,8 +16,15 @@ shard over ``model`` —
 Everything else (LayerNorms, biases of row-parallel layers, embeddings,
 skip-fusion Dense blocks) stays replicated.  Under ``jax.jit`` XLA's SPMD
 partitioner then computes each FFN as a local column GEMM -> local row
-GEMM -> one all-reduce over the ``model`` axis (riding ICI), exactly the
-hand-written Megatron schedule — no per-op code changes.
+GEMM -> one all-reduce over the ``model`` axis (riding ICI) — the
+hand-written Megatron schedule, with no per-op code changes.  The
+ATTENTION projections are a weaker story: the torch-packed ``[D, 3D]``
+in_proj is split as contiguous columns, which does not align with the
+q/k/v blocks or head boundaries, so GSPMD inserts gathers around the
+per-head softmax instead of running the attention head-parallel (the
+params still shard — memory distributes — and the math is unchanged; a
+head-interleaved layout would need to break the torch checkpoint-parity
+packing, not worth it at this model size).
 
 The SAME name-based rule applies to the optimizer moments: AdamW's
 ``mu``/``nu`` trees mirror the param tree leaf-for-leaf, so

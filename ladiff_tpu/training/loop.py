@@ -144,6 +144,13 @@ def run_training(cfg, dm: T2MDataModule, logger,
     # the default 1-wide model axis is plain data parallelism (the
     # reference's DDP equivalent)
     n_model = int(cfg.TRAIN.get("TENSOR_PARALLEL", 1) or 1)
+    n_avail = jax.device_count()
+    if n_model < 1 or n_avail % n_model != 0:
+        # make_mesh would silently drop the remainder devices (or build an
+        # empty mesh) — fail at the config line instead
+        raise ValueError(
+            f"TRAIN.TENSOR_PARALLEL={n_model} must divide the device count "
+            f"({n_avail})")
     mesh = make_mesh(n_model=n_model)
     n_dev = int(np.prod(mesh.devices.shape))
     exp_dir = cfg.get("FOLDER_EXP", ".")

@@ -67,10 +67,21 @@ def _jit_step(step, mesh: Mesh, batch_sh, repl):
         jitted.raw_step = step
         return jitted
     from ladiff_tpu.ops.pallas_common import no_pallas
+    from ladiff_tpu.parallel.tp import tp_spec_for
+    nm = mesh.shape[MODEL_AXIS]
 
     def step_xla(state, batch, rng):
         with no_pallas():
-            return step(state, batch, rng)
+            new_state, logs = step(state, batch, rng)
+        # pin the OUTPUT state to the tp specs too: without the constraint
+        # GSPMD may materialize some updated leaves with a different
+        # layout, so the next call's arguments would no longer match the
+        # compiled signature (silent recompile + drift off the TP layout)
+        new_state = jax.tree_util.tree_map_with_path(
+            lambda path, x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, tp_spec_for(path, x, nm))),
+            new_state)
+        return new_state, logs
 
     jitted = jax.jit(step_xla, donate_argnums=(0,))
     jitted.raw_step = step_xla
