@@ -146,3 +146,27 @@ def test_vae_stage_eval(pipeline_root, dm):
     assert lat_files and lat_files[0] == "latent_000000.npy"
     z = np.load(os.path.join(lat_dir, lat_files[0]))
     assert z.ndim == 3 and z.shape[1:] == (5, 32) and np.isfinite(z).all()
+
+
+def test_tp_training_through_loop(pipeline_root, dm):
+    """run_training with TRAIN.TENSOR_PARALLEL=2 on the (4, 2) CPU mesh:
+    the loop builds the 2-D mesh, lays the state out with the TP specs,
+    and trains + checkpoints normally."""
+    import logging
+
+    from ladiff_tpu.training.loop import run_training
+    from ladiff_tpu.utils.logger import create_logger
+
+    cfg = _tiny_cfg(pipeline_root, "vae")
+    cfg.NAME = "it_vae_tp"
+    cfg.FOLDER_EXP = str(pipeline_root / "experiments" / "it_vae_tp")
+    cfg.TRAIN.TENSOR_PARALLEL = 2
+    logger = create_logger(cfg, phase="train")
+    logger.setLevel(logging.WARNING)
+    ckpt_dir = run_training(cfg, dm, logger, max_steps_per_epoch=2,
+                            max_epochs=1)
+    assert any(n.startswith("epoch_") for n in os.listdir(ckpt_dir))
+
+    cfg.TRAIN.TENSOR_PARALLEL = 3   # does not divide 8
+    with pytest.raises(ValueError, match="TENSOR_PARALLEL"):
+        run_training(cfg, dm, logger, max_steps_per_epoch=1, max_epochs=1)
