@@ -68,6 +68,91 @@ def _train_fused_tail(mod, resid_sum, ln_a, ln_b, drop_rate):
     return out.reshape(B, S, D)
 
 
+def _train_fused_layer(mod, x, key_valid, drop_rate):
+    """Whole-layer training kernel: self-attention + FFN tail in ONE
+    fwd and ONE bwd pallas_call (pallas_train_layer.py) — saves the HBM
+    round trip of the intermediate residual between the two split
+    kernels.  Returns None when the fused path does not apply; the
+    caller then tries the split kernels and finally plain XLA."""
+    D = mod.d_model
+    if not (D % 128 == 0 and mod.ff_size % 128 == 0
+            and D // mod.num_heads <= 128 and x.shape[1] >= 32
+            and mod.activation in ("relu", "gelu")
+            and not mod.is_initializing() and pallas_enabled()
+            and (drop_rate == 0.0 or mod.has_rng("dropout"))
+            and os.environ.get("LADIFF_TRAIN_WHOLE_LAYER", "0")
+            in ("1", "enc")):
+        return None
+    from ladiff_tpu.ops.pallas_train_layer import train_encoder_layer
+    if drop_rate > 0.0:
+        seed = jax.random.randint(mod.make_rng("dropout"), (), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    else:
+        seed = jnp.int32(0)
+    B, S, _ = x.shape
+    kv = (key_valid if key_valid is not None
+          else jnp.ones((B, S), bool))
+    p = mod.self_attn.variables["params"]
+    out = train_encoder_layer(
+        x.reshape(B * S, D).astype(mod.dtype),
+        kv.reshape(B * S, 1).astype(jnp.float32),
+        p["in_proj_kernel"], p["in_proj_bias"],
+        p["out_proj"]["kernel"], p["out_proj"]["bias"],
+        mod.linear1.kernel, mod.linear1.bias,
+        mod.linear2.kernel, mod.linear2.bias,
+        mod.norm1.scale, mod.norm1.bias, mod.norm2.scale, mod.norm2.bias,
+        seed, mod.num_heads, S, float(drop_rate), mod.activation,
+        int(os.environ.get("LADIFF_TRAIN_ATTN_BLOCK", "2")))
+    return out.reshape(B, S, D)
+
+
+def _train_fused_decoder_layer(mod, tgt, memory, tgt_key_valid,
+                               memory_key_valid, drop_rate):
+    """Whole-DECODER-layer training kernel (self-attn + cross-attn + FFN
+    tail in ONE fwd and ONE bwd pallas_call,
+    pallas_train_decoder_layer.py).  Returns None when the fused path
+    does not apply; the caller then tries the split kernels."""
+    D = mod.d_model
+    if not (D % 128 == 0 and mod.ff_size % 128 == 0
+            and D // mod.num_heads <= 128 and tgt.shape[1] >= 32
+            and memory.shape[-1] == D
+            and mod.activation in ("relu", "gelu")
+            and not mod.is_initializing() and pallas_enabled()
+            and (drop_rate == 0.0 or mod.has_rng("dropout"))
+            and os.environ.get("LADIFF_TRAIN_WHOLE_LAYER", "0")
+            in ("1", "dec")):
+        return None
+    from ladiff_tpu.ops.pallas_train_decoder_layer import train_decoder_layer
+    if drop_rate > 0.0:
+        seed = jax.random.randint(mod.make_rng("dropout"), (), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    else:
+        seed = jnp.int32(0)
+    B, S, _ = tgt.shape
+    L = memory.shape[1]
+    kv = (tgt_key_valid if tgt_key_valid is not None
+          else jnp.ones((B, S), bool))
+    mv = (memory_key_valid if memory_key_valid is not None
+          else jnp.ones((B, L), bool))
+    sa = mod.self_attn.variables["params"]
+    ca = mod.multihead_attn.variables["params"]
+    out = train_decoder_layer(
+        tgt.reshape(B * S, D).astype(mod.dtype),
+        kv.reshape(B * S, 1).astype(jnp.float32),
+        memory.astype(mod.dtype), mv.astype(jnp.float32),
+        sa["in_proj_kernel"], sa["in_proj_bias"],
+        sa["out_proj"]["kernel"], sa["out_proj"]["bias"],
+        ca["in_proj_kernel"], ca["in_proj_bias"],
+        ca["out_proj"]["kernel"], ca["out_proj"]["bias"],
+        mod.linear1.kernel, mod.linear1.bias,
+        mod.linear2.kernel, mod.linear2.bias,
+        (mod.norm1.scale, mod.norm1.bias, mod.norm2.scale, mod.norm2.bias,
+         mod.norm3.scale, mod.norm3.bias),
+        seed, mod.num_heads, S, L, float(drop_rate), mod.activation,
+        int(os.environ.get("LADIFF_TRAIN_ATTN_BLOCK", "2")))
+    return out.reshape(B, S, D)
+
+
 def _train_fused_attn(mod, attn_mod, x, key_valid, drop_rate):
     """Training-mode fused self-attention segment (fwd+bwd Pallas with
     in-kernel dropout): returns ``x + dropout(self_attn(x))`` or None when
@@ -189,6 +274,10 @@ class TransformerEncoderLayer(nn.Module):
             x2 = attn(qk, kv, kv, key_valid, deterministic=deterministic)
         else:
             if not deterministic and pos is None:
+                whole = _train_fused_layer(self, src, key_valid,
+                                           self.dropout)
+                if whole is not None:
+                    return whole
                 resid = _train_fused_attn(self, self.self_attn, src,
                                           key_valid, self.dropout)
                 if resid is not None:
@@ -334,6 +423,13 @@ class TransformerDecoderLayer(nn.Module):
             x2 = linear2(drop(act(linear1(x2))))
             tgt = tgt + drop(x2)
         else:
+            if (not deterministic and pos is None and query_pos is None
+                    and not return_cross_weights):
+                whole = _train_fused_decoder_layer(
+                    self, tgt, memory, tgt_key_valid, memory_key_valid,
+                    self.dropout)
+                if whole is not None:
+                    return whole
             if not deterministic and query_pos is None:
                 resid = _train_fused_attn(self, self.self_attn, tgt,
                                           tgt_key_valid, self.dropout)

@@ -207,6 +207,412 @@ def check_attention_kernel():
     assert min(rels) < 2e-2, rels
 
 
+def check_layer_kernel():
+    from ladiff_tpu.ops.pallas_train_layer import train_encoder_layer
+
+    rs = np.random.RandomState(5)
+    B, S, D, H, F = 8, 49, 256, 4, 1024
+    M = B * S
+    x = jnp.asarray(rs.randn(M, D).astype(np.float32) * 0.5)
+    lens = rs.randint(8, S + 1, B)
+    kv = jnp.asarray((np.arange(S)[None, :] < lens[:, None])
+                     .astype(np.float32).reshape(M, 1))
+    args = tuple(jnp.asarray(a) for a in (
+        rs.randn(D, 3 * D).astype(np.float32) * 0.05,
+        rs.randn(3 * D).astype(np.float32) * 0.1,
+        rs.randn(D, D).astype(np.float32) * 0.05,
+        rs.randn(D).astype(np.float32) * 0.1,
+        rs.randn(D, F).astype(np.float32) * 0.05,
+        rs.randn(F).astype(np.float32) * 0.1,
+        rs.randn(F, D).astype(np.float32) * 0.05,
+        rs.randn(D).astype(np.float32) * 0.1,
+        (1 + 0.1 * rs.randn(D)).astype(np.float32),
+        0.1 * rs.randn(D).astype(np.float32),
+        (1 + 0.1 * rs.randn(D)).astype(np.float32),
+        0.1 * rs.randn(D).astype(np.float32)))
+    seed = jnp.int32(13)
+
+    def xla_ref(x, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
+                l1s, l1b, l2s, l2b):
+        qkv = x.reshape(B, S, D) @ wqkv + bqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        Dh = D // H
+        qh = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh / np.sqrt(Dh), kh)
+        mask = kv.reshape(B, S)[:, None, None, :] > 0.5
+        logits = jnp.where(mask, logits, -1e9)
+        w = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, D)
+        r = (x.reshape(B, S, D) + (ctx @ wout + bout)).reshape(M, D)
+
+        def ln(v_, s_, b_):
+            mu = v_.mean(-1, keepdims=True)
+            var = ((v_ - mu) ** 2).mean(-1, keepdims=True)
+            return (v_ - mu) * jax.lax.rsqrt(var + 1e-5) * s_ + b_
+        h = ln(r, l1s, l1b)
+        y = jax.nn.gelu(h @ w1 + b1, approximate=False) @ w2 + b2
+        return ln(h + y, l2s, l2b)
+
+    out = jax.jit(lambda *a: train_encoder_layer(
+        a[0], kv, *a[1:], seed, H, S, 0.0, "gelu"))(x, *args)
+    want = jax.jit(xla_ref)(x, *args)
+    d = float(jnp.abs(out - want).max())
+    print(f"layer rate0 fwd max diff: {d:.2e}")
+    assert d < 5e-3, d
+
+    argnums = tuple(range(13))
+    gk = jax.jit(jax.grad(
+        lambda *a: jnp.sum(train_encoder_layer(
+            a[0], kv, *a[1:], seed, H, S, 0.0, "gelu") ** 2),
+        argnums=argnums))(x, *args)
+    gx = jax.jit(jax.grad(lambda *a: jnp.sum(xla_ref(*a) ** 2),
+                          argnums=argnums))(x, *args)
+    for i, (a, b) in enumerate(zip(gk, gx)):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        print(f"layer rate0 grad[{i}] rel diff: {rel:.2e}")
+        assert rel < 2e-2, (i, rel)
+
+    # dropout: determinism per seed, variation across seeds, FD consistency
+    f = jax.jit(lambda s, *a: train_encoder_layer(
+        a[0], kv, *a[1:], s, H, S, 0.3, "gelu"))
+    o1, o2, o3 = f(seed, x, *args), f(seed, x, *args), f(jnp.int32(14), x,
+                                                         *args)
+    assert float(jnp.abs(o1 - o2).max()) == 0.0, "layer seed-determinism"
+    assert float(jnp.abs(o1 - o3).max()) > 1e-3, "layer seed has no effect"
+    print("layer dropout: deterministic per seed, varies across seeds")
+
+    # Dropout-path gradients: a finite-difference probe is NOT usable for
+    # this composed kernel — its loss is a sum of squares of LN-normalized
+    # outputs, and the MXU's bf16 rounding of the in-kernel GEMMs puts
+    # O(0.5) non-cancelling noise on each loss evaluation, which divided
+    # by eps swamps the directional-derivative signal (measured rel
+    # 0.2-0.3 regardless of mask correctness).  Instead EXTRACT the exact
+    # masks the hardware PRNG draws (a probe kernel running the same
+    # _masks call — the stream is stable across kernel programs: the
+    # recomputed bwd forward matches the fwd output bit-exactly), then
+    # compare every kernel gradient against jax.grad of an XLA reference
+    # that applies those masks explicitly.  Strictly stronger than FD:
+    # analytic, per-parameter, and validates mask placement site-for-site.
+    check_layer_dropout_grads(rs)
+
+
+def check_layer_dropout_grads(rs):
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ladiff_tpu.ops.pallas_common import dropout_masks as _masks
+    from ladiff_tpu.ops.pallas_train_layer import (_mask_shapes,
+                                                   train_encoder_layer)
+
+    Bs, Ss, Ds, Fs, H = 2, 16, 128, 256, 4
+    Ms = Bs * Ss
+    Sp = Ss
+    Bb = 2
+    rate = 0.3
+    seed = jnp.int32(13)
+    xs = jnp.asarray(rs.randn(Ms, Ds).astype(np.float32) * 0.5)
+    kvs = jnp.ones((Ms, 1), jnp.float32)
+    s_args = tuple(jnp.asarray(a) for a in (
+        rs.randn(Ds, 3 * Ds).astype(np.float32) * 0.05,
+        rs.randn(3 * Ds).astype(np.float32) * 0.1,
+        rs.randn(Ds, Ds).astype(np.float32) * 0.05,
+        rs.randn(Ds).astype(np.float32) * 0.1,
+        rs.randn(Ds, Fs).astype(np.float32) * 0.05,
+        rs.randn(Fs).astype(np.float32) * 0.1,
+        rs.randn(Fs, Ds).astype(np.float32) * 0.05,
+        rs.randn(Ds).astype(np.float32) * 0.1,
+        (1 + 0.1 * rs.randn(Ds)).astype(np.float32),
+        0.1 * rs.randn(Ds).astype(np.float32),
+        (1 + 0.1 * rs.randn(Ds)).astype(np.float32),
+        0.1 * rs.randn(Ds).astype(np.float32)))
+
+    def mask_kernel(seed_ref, outp_ref, outr_ref, out1_ref, out2_ref):
+        masks = _masks(seed_ref, rate,
+                       _mask_shapes(Bb, Sp, H, Ms, Ds, Fs))
+        outp_ref[...] = jnp.concatenate(masks[:Bb * H], axis=0)
+        outr_ref[...] = masks[-3]
+        out1_ref[...] = masks[-2]
+        out2_ref[...] = masks[-1]
+
+    rows = lambda i, *_: (i, 0)
+    probs, m_resid, m1, m2 = pl.pallas_call(
+        mask_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(1,), in_specs=[],
+            out_specs=[
+                pl.BlockSpec((Bb * H * Sp, Sp), rows,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Ms, Ds), rows, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Ms, Fs), rows, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Ms, Ds), rows, memory_space=pltpu.VMEM)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((Bb * H * Sp, Sp), jnp.float32),
+                   jax.ShapeDtypeStruct((Ms, Ds), jnp.float32),
+                   jax.ShapeDtypeStruct((Ms, Fs), jnp.float32),
+                   jax.ShapeDtypeStruct((Ms, Ds), jnp.float32)],
+    )(jnp.asarray(seed, jnp.int32).reshape(1))
+    keep = float((np.asarray(m_resid) > 0).mean())
+    print(f"layer extracted resid-mask keep fraction: {keep:.3f}")
+    assert abs(keep - (1 - rate)) < 0.05, keep
+
+    def xla_ref(x, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
+                l1s, l1b, l2s, l2b):
+        qkv = x.reshape(Bs, Ss, Ds) @ wqkv + bqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        Dh = Ds // H
+        qh = q.reshape(Bs, Ss, H, Dh).transpose(0, 2, 1, 3)
+        kh = k.reshape(Bs, Ss, H, Dh).transpose(0, 2, 1, 3)
+        vh = v.reshape(Bs, Ss, H, Dh).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh / np.sqrt(Dh), kh)
+        w = jax.nn.softmax(logits, axis=-1)
+        w = w * probs.reshape(Bs, H, Ss, Ss)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(Bs, Ss, Ds)
+        r = (x.reshape(Bs, Ss, Ds)
+             + (ctx @ wout + bout) * m_resid.reshape(Bs, Ss, Ds)
+             ).reshape(Ms, Ds)
+
+        def ln(v_, s_, b_):
+            mu = v_.mean(-1, keepdims=True)
+            var = ((v_ - mu) ** 2).mean(-1, keepdims=True)
+            return (v_ - mu) * jax.lax.rsqrt(var + 1e-5) * s_ + b_
+        h = ln(r, l1s, l1b)
+        g = jax.nn.gelu(h @ w1 + b1, approximate=False) * m1
+        y = g @ w2 + b2
+        return ln(h + y * m2, l2s, l2b)
+
+    out_k = jax.jit(lambda: train_encoder_layer(
+        xs, kvs, *s_args, seed, H, Ss, rate, "gelu", Bb))()
+    out_x = jax.jit(lambda: xla_ref(xs, *s_args))()
+    d = float(jnp.abs(out_k - out_x).max())
+    print(f"layer dropout fwd vs xla-with-extracted-masks: {d:.2e}")
+    assert d < 5e-2, d
+
+    argnums = tuple(range(13))
+    gk = jax.jit(jax.grad(
+        lambda *a: jnp.sum(train_encoder_layer(
+            a[0], kvs, *a[1:], seed, H, Ss, rate, "gelu", Bb) ** 2),
+        argnums=argnums))(xs, *s_args)
+    gx = jax.jit(jax.grad(lambda *a: jnp.sum(xla_ref(*a) ** 2),
+                          argnums=argnums))(xs, *s_args)
+    names = ["x", "wqkv", "bqkv", "wout", "bout", "w1", "b1", "w2", "b2",
+             "ln1s", "ln1b", "ln2s", "ln2b"]
+    for n, a, b in zip(names, gk, gx):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        print(f"layer dropout grad {n}: rel {rel:.3e}")
+        assert rel < 2e-2, (n, rel)
+
+
+def check_decoder_layer_kernel():
+    """Whole-DECODER-layer training kernel on hardware: rate-0 parity for
+    forward + every gradient (incl. the memory gradient), dropout seed
+    determinism, and the extracted-mask analytic gradient comparison."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ladiff_tpu.ops.pallas_common import dropout_masks as _masks
+    from ladiff_tpu.ops.pallas_train_decoder_layer import (
+        _mask_shapes, train_decoder_layer)
+
+    rs = np.random.RandomState(7)
+    B, S, L, D, H, F = 4, 49, 7, 256, 4, 1024
+    M = B * S
+    x = jnp.asarray(rs.randn(M, D).astype(np.float32) * 0.5)
+    mem = jnp.asarray(rs.randn(B, L, D).astype(np.float32) * 0.5)
+    lens = rs.randint(8, S + 1, B)
+    kv = jnp.asarray((np.arange(S)[None, :] < lens[:, None])
+                     .astype(np.float32).reshape(M, 1))
+    mv = jnp.asarray((np.arange(L)[None, :]
+                      < rs.randint(1, L + 1, B)[:, None])
+                     .astype(np.float32))
+    args = tuple(jnp.asarray(a) for a in (
+        rs.randn(D, 3 * D).astype(np.float32) * 0.05,
+        rs.randn(3 * D).astype(np.float32) * 0.1,
+        rs.randn(D, D).astype(np.float32) * 0.05,
+        rs.randn(D).astype(np.float32) * 0.1,
+        rs.randn(D, 3 * D).astype(np.float32) * 0.05,
+        rs.randn(3 * D).astype(np.float32) * 0.1,
+        rs.randn(D, D).astype(np.float32) * 0.05,
+        rs.randn(D).astype(np.float32) * 0.1,
+        rs.randn(D, F).astype(np.float32) * 0.05,
+        rs.randn(F).astype(np.float32) * 0.1,
+        rs.randn(F, D).astype(np.float32) * 0.05,
+        rs.randn(D).astype(np.float32) * 0.1))
+    lns = tuple(jnp.asarray(a) for a in (
+        (1 + 0.1 * rs.randn(D)).astype(np.float32),
+        0.1 * rs.randn(D).astype(np.float32),
+        (1 + 0.1 * rs.randn(D)).astype(np.float32),
+        0.1 * rs.randn(D).astype(np.float32),
+        (1 + 0.1 * rs.randn(D)).astype(np.float32),
+        0.1 * rs.randn(D).astype(np.float32)))
+    seed = jnp.int32(23)
+    rate = 0.3
+    Bb = 2
+    Sp = -(-S // 8) * 8
+    Lp = -(-L // 8) * 8
+
+    def ln_(v_, s_, b_):
+        mu = v_.mean(-1, keepdims=True)
+        var = ((v_ - mu) ** 2).mean(-1, keepdims=True)
+        return (v_ - mu) * jax.lax.rsqrt(var + 1e-5) * s_ + b_
+
+    def mha(q, kvd, valid, wqkv, bqkv, wout, bout, Sq, Sk, pm=None):
+        Dh = D // H
+        qq = (q.reshape(B, Sq, D) @ wqkv[:, :D] + bqkv[:D]) \
+            .reshape(B, Sq, H, Dh).transpose(0, 2, 1, 3)
+        kk = (kvd @ wqkv[:, D:2 * D] + bqkv[D:2 * D]) \
+            .reshape(B, Sk, H, Dh).transpose(0, 2, 1, 3)
+        vv = (kvd @ wqkv[:, 2 * D:] + bqkv[2 * D:]) \
+            .reshape(B, Sk, H, Dh).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qq / np.sqrt(Dh), kk)
+        logits = jnp.where(valid[:, None, None, :] > 0.5, logits, -1e9)
+        w = jax.nn.softmax(logits, axis=-1)
+        if pm is not None:
+            w = w * pm
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", w, vv)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Sq, D)
+        return ctx @ wout + bout
+
+    def xla_ref(x, mem, sa_wqkv, sa_bqkv, sa_wout, sa_bout,
+                ca_wqkv, ca_bqkv, ca_wout, ca_bout, w1, b1, w2, b2, lns,
+                sa_pm=None, sa_rm=None, ca_pm=None, ca_rm=None,
+                m1=1.0, m2=1.0):
+        l1s, l1b, l2s, l2b, l3s, l3b = lns
+        sa = mha(x, x.reshape(B, S, D), kv.reshape(B, S),
+                 sa_wqkv, sa_bqkv, sa_wout, sa_bout, S, S, sa_pm)
+        if sa_rm is not None:
+            sa = sa * sa_rm.reshape(B, S, D)
+        t1 = ln_((x.reshape(B, S, D) + sa).reshape(M, D), l1s, l1b)
+        ca = mha(t1, mem, mv, ca_wqkv, ca_bqkv, ca_wout, ca_bout, S, L,
+                 ca_pm)
+        if ca_rm is not None:
+            ca = ca * ca_rm.reshape(B, S, D)
+        r2 = (t1.reshape(B, S, D) + ca).reshape(M, D)
+        h = ln_(r2, l2s, l2b)
+        g = jax.nn.gelu(h @ w1 + b1, approximate=False) * m1
+        y = g @ w2 + b2
+        return ln_(h + y * m2, l3s, l3b)
+
+    # rate 0 parity
+    out = jax.jit(lambda: train_decoder_layer(
+        x, kv, mem, mv, *args, lns, seed, H, S, L, 0.0, "gelu", Bb))()
+    want = jax.jit(lambda: xla_ref(x, mem, *args, lns))()
+    d = float(jnp.abs(out - want).max())
+    print(f"dec-layer rate0 fwd max diff: {d:.2e}")
+    assert d < 5e-3, d
+
+    argnums = (0, 1) + tuple(range(2, 15))
+    gk = jax.jit(jax.grad(
+        lambda x0, m0, *a: jnp.sum(train_decoder_layer(
+            x0, kv, m0, mv, *a, seed, H, S, L, 0.0, "gelu", Bb) ** 2),
+        argnums=argnums))(x, mem, *args, lns)
+    gx = jax.jit(jax.grad(
+        lambda x0, m0, *a: jnp.sum(xla_ref(x0, m0, *a) ** 2),
+        argnums=argnums))(x, mem, *args, lns)
+    names = ["x", "mem", "sa_wqkv", "sa_bqkv", "sa_wout", "sa_bout",
+             "ca_wqkv", "ca_bqkv", "ca_wout", "ca_bout",
+             "w1", "b1", "w2", "b2", "lns"]
+    for n, a, b in zip(names, gk, gx):
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            rel = float(jnp.abs(la - lb).max() / (jnp.abs(lb).max() + 1e-9))
+            print(f"dec-layer rate0 grad {n}: rel {rel:.2e}")
+            assert rel < 2e-2, (n, rel)
+
+    # dropout: seed determinism
+    f = jax.jit(lambda s: train_decoder_layer(
+        x, kv, mem, mv, *args, lns, s, H, S, L, rate, "gelu", Bb))
+    o1, o2, o3 = f(seed), f(seed), f(jnp.int32(24))
+    assert float(jnp.abs(o1 - o2).max()) == 0.0, "dec seed-determinism"
+    assert float(jnp.abs(o1 - o3).max()) > 1e-3, "dec seed has no effect"
+    print("dec-layer dropout: deterministic per seed, varies across seeds")
+
+    # extract masks and compare every gradient analytically
+    shapes = _mask_shapes(Bb, Sp, Lp, H, Bb * Sp, D, F)
+
+    def mask_kernel(seed_ref, sa_ref, sar_ref, ca_ref, car_ref,
+                    m1_ref, m2_ref):
+        masks = _masks(seed_ref, rate, shapes)
+        sa_ref[...] = jnp.concatenate(masks[:Bb * H], axis=0)
+        sar_ref[...] = masks[Bb * H]
+        ca_ref[...] = jnp.concatenate(
+            masks[Bb * H + 1:2 * Bb * H + 1], axis=0)
+        car_ref[...] = masks[-3]
+        m1_ref[...] = masks[-2]
+        m2_ref[...] = masks[-1]
+
+    rows = lambda i, *_: (i, 0)
+    Mb = Bb * Sp
+    grid_n = (B + Bb - 1) // Bb
+    outs = pl.pallas_call(
+        mask_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(grid_n,), in_specs=[],
+            out_specs=[
+                pl.BlockSpec((Bb * H * Sp, Sp), rows,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Mb, D), rows, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Bb * H * Sp, 128), rows,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Mb, D), rows, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Mb, F), rows, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Mb, D), rows, memory_space=pltpu.VMEM)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((grid_n * Bb * H * Sp, Sp), jnp.float32),
+            jax.ShapeDtypeStruct((grid_n * Mb, D), jnp.float32),
+            jax.ShapeDtypeStruct((grid_n * Bb * H * Sp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((grid_n * Mb, D), jnp.float32),
+            jax.ShapeDtypeStruct((grid_n * Mb, F), jnp.float32),
+            jax.ShapeDtypeStruct((grid_n * Mb, D), jnp.float32)],
+    )(jnp.asarray(seed, jnp.int32).reshape(1))
+    sa_m, sar_m, ca_m, car_m, m1_m, m2_m = (np.asarray(o) for o in outs)
+
+    # reassemble per-(block, sample, head) draws into [B, H, S, *] tensors
+    def to_bhss(flat, width, out_w):
+        t = flat.reshape(grid_n, Bb, H, Sp, width)[..., :out_w]
+        t = t.reshape(grid_n * Bb, H, Sp, out_w)[:B, :, :S]
+        return jnp.asarray(t)
+    sa_pm = to_bhss(sa_m, Sp, Sp)[:, :, :, :]
+    # probs masks are [Sp(query), Sp(key)]: crop keys to S as well
+    sa_pm = sa_pm[:, :, :, :S]
+    ca_pm = to_bhss(ca_m, 128, Lp)[:, :, :, :L]
+
+    def rows_to_bsd(flat, width):
+        t = flat.reshape(grid_n, Bb, Sp, width)
+        return jnp.asarray(t.reshape(grid_n * Bb, Sp, width)[:B, :S])
+    sa_rm = rows_to_bsd(sar_m, D)
+    ca_rm = rows_to_bsd(car_m, D)
+    m1 = rows_to_bsd(m1_m, F).reshape(M, F)
+    m2 = rows_to_bsd(m2_m, D).reshape(M, D)
+
+    out_k = jax.jit(lambda: train_decoder_layer(
+        x, kv, mem, mv, *args, lns, seed, H, S, L, rate, "gelu", Bb))()
+    out_x = jax.jit(lambda: xla_ref(
+        x, mem, *args, lns, sa_pm=sa_pm, sa_rm=sa_rm,
+        ca_pm=ca_pm, ca_rm=ca_rm, m1=m1, m2=m2))()
+    d = float(jnp.abs(out_k - out_x).max())
+    print(f"dec-layer dropout fwd vs xla-with-extracted-masks: {d:.2e}")
+    assert d < 5e-2, d
+
+    gk = jax.jit(jax.grad(
+        lambda x0, m0, *a: jnp.sum(train_decoder_layer(
+            x0, kv, m0, mv, *a, seed, H, S, L, rate, "gelu", Bb) ** 2),
+        argnums=argnums))(x, mem, *args, lns)
+    gx = jax.jit(jax.grad(
+        lambda x0, m0, *a: jnp.sum(xla_ref(
+            x0, m0, *a, sa_pm=sa_pm, sa_rm=sa_rm,
+            ca_pm=ca_pm, ca_rm=ca_rm, m1=m1, m2=m2) ** 2),
+        argnums=argnums))(x, mem, *args, lns)
+    for n, a, b in zip(names, gk, gx):
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            rel = float(jnp.abs(la - lb).max() / (jnp.abs(lb).max() + 1e-9))
+            print(f"dec-layer dropout grad {n}: rel {rel:.2e}")
+            assert rel < 2e-2, (n, rel)
+
+
 def check_train_step():
     from ladiff_tpu.models.ladiff import LADiffSystem
 
@@ -293,5 +699,7 @@ if __name__ == "__main__":
     assert jax.default_backend() == "tpu", jax.default_backend()
     check_kernel()
     check_attention_kernel()
+    check_layer_kernel()
+    check_decoder_layer_kernel()
     check_train_step()
     print("ALL TRAIN-FUSED CHECKS PASSED")

@@ -518,3 +518,198 @@ def test_train_fused_layer_rate0_matches_deterministic(monkeypatch):
     got = _interpreted(lambda: np.asarray(dec.apply(
         p_dec, src, mem, kvalid, mvalid, deterministic=False)))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_train_encoder_layer_rate0_matches_xla():
+    """Whole-layer training kernel (attention + FFN tail in one call) at
+    dropout 0: forward + EVERY gradient must match the XLA chain
+    (interpret mode; dropout path -> scripts/validate_train_fused.py)."""
+    from ladiff_tpu.ops.pallas_train_layer import train_encoder_layer
+
+    rs = np.random.RandomState(4)
+    B, S, D, H, F = 3, 12, 256, 4, 512
+    M = B * S
+    x = jnp.asarray(rs.randn(M, D).astype(np.float32) * 0.5)
+    kv = jnp.asarray((np.arange(S)[None, :]
+                      < np.array([[8], [12], [5]])).astype(np.float32)
+                     .reshape(M, 1))
+    args = tuple(jnp.asarray(a) for a in (
+        rs.randn(D, 3 * D).astype(np.float32) * 0.05,   # wqkv
+        rs.randn(3 * D).astype(np.float32) * 0.1,       # bqkv
+        rs.randn(D, D).astype(np.float32) * 0.05,       # wout
+        rs.randn(D).astype(np.float32) * 0.1,           # bout
+        rs.randn(D, F).astype(np.float32) * 0.05,       # w1
+        rs.randn(F).astype(np.float32) * 0.1,           # b1
+        rs.randn(F, D).astype(np.float32) * 0.05,       # w2
+        rs.randn(D).astype(np.float32) * 0.1,           # b2
+        (1 + 0.1 * rs.randn(D)).astype(np.float32),     # ln1s
+        0.1 * rs.randn(D).astype(np.float32),           # ln1b
+        (1 + 0.1 * rs.randn(D)).astype(np.float32),     # ln2s
+        0.1 * rs.randn(D).astype(np.float32)))          # ln2b
+    seed = jnp.int32(9)
+
+    def xla_ref(x, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
+                l1s, l1b, l2s, l2b):
+        qkv = x.reshape(B, S, D) @ wqkv + bqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        Dh = D // H
+        qh = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh / np.sqrt(Dh), kh)
+        mask = kv.reshape(B, S)[:, None, None, :] > 0.5
+        logits = jnp.where(mask, logits, -1e9)
+        w = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, D)
+        r = (x.reshape(B, S, D) + (ctx @ wout + bout)).reshape(M, D)
+
+        def ln(v_, s_, b_):
+            mu = v_.mean(-1, keepdims=True)
+            var = ((v_ - mu) ** 2).mean(-1, keepdims=True)
+            return (v_ - mu) * jax.lax.rsqrt(var + 1e-5) * s_ + b_
+        h = ln(r, l1s, l1b)
+        y = jax.nn.gelu(h @ w1 + b1, approximate=False) @ w2 + b2
+        return ln(h + y, l2s, l2b)
+
+    got = _interpreted(lambda: np.asarray(train_encoder_layer(
+        x, kv, *args, seed, H, S, 0.0, "gelu")))
+    want = np.asarray(xla_ref(x, *args))
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+    argnums = tuple(range(13))  # x plus the 12 parameter tensors
+    gk = _interpreted(lambda: jax.grad(
+        lambda x0, *a: jnp.sum(train_encoder_layer(
+            x0, kv, *a, seed, H, S, 0.0, "gelu") ** 2),
+        argnums=argnums)(x, *args))
+    gx = jax.grad(lambda x0, *a: jnp.sum(xla_ref(x0, *a) ** 2),
+                  argnums=argnums)(x, *args)
+    for i, (a, b) in enumerate(zip(gk, gx)):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 5e-4, (i, rel)
+
+
+def test_train_decoder_layer_rate0_matches_xla():
+    """Whole-DECODER-layer training kernel at dropout 0: forward + every
+    gradient (including the MEMORY gradient) must match the XLA chain
+    (interpret mode; dropout path -> scripts/validate_train_fused.py)."""
+    from ladiff_tpu.ops.pallas_train_decoder_layer import train_decoder_layer
+
+    rs = np.random.RandomState(6)
+    B, S, L, D, H, F = 2, 12, 5, 256, 4, 512
+    M = B * S
+    x = jnp.asarray(rs.randn(M, D).astype(np.float32) * 0.5)
+    mem = jnp.asarray(rs.randn(B, L, D).astype(np.float32) * 0.5)
+    kv = jnp.asarray((np.arange(S)[None, :]
+                      < np.array([[8], [12]])).astype(np.float32)
+                     .reshape(M, 1))
+    mv = jnp.asarray((np.arange(L)[None, :] < np.array([[3], [5]]))
+                     .astype(np.float32))
+    args = tuple(jnp.asarray(a) for a in (
+        rs.randn(D, 3 * D).astype(np.float32) * 0.05,   # sa_wqkv
+        rs.randn(3 * D).astype(np.float32) * 0.1,       # sa_bqkv
+        rs.randn(D, D).astype(np.float32) * 0.05,       # sa_wout
+        rs.randn(D).astype(np.float32) * 0.1,           # sa_bout
+        rs.randn(D, 3 * D).astype(np.float32) * 0.05,   # ca_wqkv
+        rs.randn(3 * D).astype(np.float32) * 0.1,       # ca_bqkv
+        rs.randn(D, D).astype(np.float32) * 0.05,       # ca_wout
+        rs.randn(D).astype(np.float32) * 0.1,           # ca_bout
+        rs.randn(D, F).astype(np.float32) * 0.05,       # w1
+        rs.randn(F).astype(np.float32) * 0.1,           # b1
+        rs.randn(F, D).astype(np.float32) * 0.05,       # w2
+        rs.randn(D).astype(np.float32) * 0.1))          # b2
+    lns = tuple(jnp.asarray(a) for a in (
+        (1 + 0.1 * rs.randn(D)).astype(np.float32),
+        0.1 * rs.randn(D).astype(np.float32),
+        (1 + 0.1 * rs.randn(D)).astype(np.float32),
+        0.1 * rs.randn(D).astype(np.float32),
+        (1 + 0.1 * rs.randn(D)).astype(np.float32),
+        0.1 * rs.randn(D).astype(np.float32)))
+    seed = jnp.int32(17)
+
+    def ln_(v_, s_, b_):
+        mu = v_.mean(-1, keepdims=True)
+        var = ((v_ - mu) ** 2).mean(-1, keepdims=True)
+        return (v_ - mu) * jax.lax.rsqrt(var + 1e-5) * s_ + b_
+
+    def mha(q, kvd, valid, wqkv, bqkv, wout, bout, Sq, Sk):
+        Dh = D // H
+        qq = (q.reshape(B, Sq, D) @ wqkv[:, :D] + bqkv[:D]) \
+            .reshape(B, Sq, H, Dh).transpose(0, 2, 1, 3)
+        kk = (kvd @ wqkv[:, D:2 * D] + bqkv[D:2 * D]) \
+            .reshape(B, Sk, H, Dh).transpose(0, 2, 1, 3)
+        vv = (kvd @ wqkv[:, 2 * D:] + bqkv[2 * D:]) \
+            .reshape(B, Sk, H, Dh).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qq / np.sqrt(Dh), kk)
+        logits = jnp.where(valid[:, None, None, :] > 0.5, logits, -1e9)
+        w = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", w, vv)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Sq, D)
+        return ctx @ wout + bout
+
+    def xla_ref(x, mem, sa_wqkv, sa_bqkv, sa_wout, sa_bout,
+                ca_wqkv, ca_bqkv, ca_wout, ca_bout, w1, b1, w2, b2, lns):
+        l1s, l1b, l2s, l2b, l3s, l3b = lns
+        sa = mha(x, x.reshape(B, S, D), kv.reshape(B, S),
+                 sa_wqkv, sa_bqkv, sa_wout, sa_bout, S, S)
+        t1 = ln_((x.reshape(B, S, D) + sa).reshape(M, D), l1s, l1b)
+        ca = mha(t1, mem, mv, ca_wqkv, ca_bqkv, ca_wout, ca_bout, S, L)
+        h = ln_((t1.reshape(B, S, D) + ca).reshape(M, D), l2s, l2b)
+        y = jax.nn.gelu(h @ w1 + b1, approximate=False) @ w2 + b2
+        return ln_(h + y, l3s, l3b)
+
+    got = _interpreted(lambda: np.asarray(train_decoder_layer(
+        x, kv, mem, mv, *args, lns, seed, H, S, L, 0.0, "gelu")))
+    want = np.asarray(xla_ref(x, mem, *args, lns))
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+    argnums = (0, 1) + tuple(range(2, 15))  # x, mem, 12 params, lns
+    gk = _interpreted(lambda: jax.grad(
+        lambda x0, m0, *a: jnp.sum(train_decoder_layer(
+            x0, kv, m0, mv, *a, seed, H, S, L, 0.0, "gelu") ** 2),
+        argnums=argnums)(x, mem, *args, lns))
+    gx = jax.grad(lambda x0, m0, *a: jnp.sum(xla_ref(x0, m0, *a) ** 2),
+                  argnums=argnums)(x, mem, *args, lns)
+    names = ["x", "mem", "sa_wqkv", "sa_bqkv", "sa_wout", "sa_bout",
+             "ca_wqkv", "ca_bqkv", "ca_wout", "ca_bout",
+             "w1", "b1", "w2", "b2", "lns"]
+    for n, a, b in zip(names, gk, gx):
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            rel = float(jnp.abs(la - lb).max() / (jnp.abs(lb).max() + 1e-9))
+            assert rel < 5e-4, (n, rel)
+
+
+def test_train_whole_layer_route_rate0_matches_deterministic(monkeypatch):
+    """With LADIFF_TRAIN_WHOLE_LAYER=1, a dropout-0 TRAINING forward must
+    route through the whole-layer kernels (encoder AND decoder) and equal
+    the deterministic XLA output.  The whole-layer kernels are opt-in
+    (measured slower than the split kernels at production shapes on v5e —
+    PERF.md); this keeps the integration path covered."""
+    from ladiff_tpu.ops.transformer import (TransformerDecoderLayer,
+                                            TransformerEncoderLayer)
+
+    rng = np.random.RandomState(8)
+    B, S, L, D, H = 2, 35, 4, 256, 4
+    src = jnp.asarray(rng.randn(B, S, D).astype(np.float32) * 0.5)
+    mem = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+    kvalid = jnp.asarray(np.arange(S)[None, :] < np.array([[21], [35]]))
+    mvalid = jnp.asarray(np.arange(L)[None, :] < np.array([[2], [4]]))
+
+    enc = TransformerEncoderLayer(D, H, 1024, dropout=0.0, activation="gelu")
+    p_enc = enc.init(jax.random.PRNGKey(0), src, kvalid)
+    want = np.asarray(enc.apply(p_enc, src, kvalid))
+    monkeypatch.setenv("LADIFF_TRAIN_WHOLE_LAYER", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = _interpreted(lambda: np.asarray(enc.apply(
+        p_enc, src, kvalid, deterministic=False)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+    monkeypatch.undo()
+    monkeypatch.setenv("LADIFF_TRAIN_WHOLE_LAYER", "1")
+    dec = TransformerDecoderLayer(D, H, 1024, dropout=0.0, activation="gelu")
+    p_dec = dec.init(jax.random.PRNGKey(1), src, mem, kvalid, mvalid)
+    want = np.asarray(dec.apply(p_dec, src, mem, kvalid, mvalid))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = _interpreted(lambda: np.asarray(dec.apply(
+        p_dec, src, mem, kvalid, mvalid, deterministic=False)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
