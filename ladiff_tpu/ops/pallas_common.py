@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["ln", "erf", "dot", "dot_t", "NEG_INF", "pallas_enabled",
-           "no_pallas", "dropout_masks"]
+           "no_pallas", "dropout_masks", "train_vmem_params"]
 
 NEG_INF = -1e9  # large finite negative keeps softmax numerics safe in bf16
 
@@ -75,6 +75,19 @@ def dropout_masks(seed_ref, rate, shapes):
         bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         out.append((bits < thresh).astype(jnp.float32) / keep)
     return out
+
+
+def train_vmem_params(default_mb: int = 0):
+    """compiler_params kwargs for the TRAINING kernels' backward calls.
+
+    LADIFF_TRAIN_VMEM_MB (trace-time) raises the scoped-VMEM budget so
+    larger sample blocks fit (the bwd kernels accumulate weight grads in
+    VMEM; at block_samples >= 4 they exceed the 16M default scope).
+    ``default_mb`` is used when the env var is unset; 0 = compiler
+    default.
+    """
+    mb = int(os.environ.get("LADIFF_TRAIN_VMEM_MB", str(default_mb)))
+    return mb * 1024 * 1024 if mb else None
 
 
 def ln(x, scale, bias):

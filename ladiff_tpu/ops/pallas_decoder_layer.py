@@ -281,9 +281,17 @@ def fused_decoder_layer(
     ps = (T % 8 == 0) and (per_sample_attention or Bb == 1)
     kernel = functools.partial(_kernel, T=T, L=L, H=H, activation=activation,
                                per_sample=ps)
+    # LADIFF_DECODE_VMEM_MB (trace-time) raises the scoped-VMEM budget so
+    # larger sample blocks fit: bb16 per-sample needs ~22.4M vs the 16M
+    # default scope (PERF.md decode sweep).  0 = compiler default.
+    import os as _os
+    vmem_mb = int(_os.environ.get("LADIFF_DECODE_VMEM_MB", "0"))
+    extra = ({"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_mb * 1024 * 1024)} if vmem_mb else {})
     out = pl.pallas_call(
         kernel,
         grid=grid,
+        **extra,
         in_specs=[
             frame,
             pl.BlockSpec((Bb * T, 1), rows, memory_space=pltpu.VMEM),

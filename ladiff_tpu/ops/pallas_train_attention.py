@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ladiff_tpu.ops.pallas_common import NEG_INF as _NEG_INF, dot as _dot, \
     dot_t as _dot_t, \
-    dropout_masks as _masks
+    dropout_masks as _masks, train_vmem_params as _vmem
 from ladiff_tpu.ops.pallas_decoder_layer import (pad_head_columns,
                                                  pad_head_rows)
 
@@ -296,7 +296,8 @@ def _bwd(H, S, rate, block_samples, res, dout):
             jax.ShapeDtypeStruct((1, D), f32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_vmem()),
     )(seed_arr, xp, doutp, kvp, wqkv_s, bqkv_s, wout_s, bout_r)
     if Sp != S or Bp != B:
         dx = dx.reshape(Bp, Sp, D)[:B, :S].reshape(B * S, D)

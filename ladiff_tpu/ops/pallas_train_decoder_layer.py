@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ladiff_tpu.ops.pallas_common import NEG_INF as _NEG_INF, dot as _dot, \
-    dot_t as _dot_t, dropout_masks as _masks
+    dot_t as _dot_t, dropout_masks as _masks, train_vmem_params as _vmem
 from ladiff_tpu.ops.pallas_decoder_layer import (pad_head_columns,
                                                  pad_head_rows)
 from ladiff_tpu.ops.pallas_train_attention import (_attn_fwd_core,
@@ -574,7 +574,7 @@ def _bwd(H, S, L, rate, activation, block_samples, res, dout):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=48 * 1024 * 1024),
+            vmem_limit_bytes=_vmem(48)),
     )(seed_arr, xp, doutp, kvp, mem_rows, mval_rows,
       sa_wqkv_s, sa_bqkv_s, sa_wout_s,
       sa_bout.reshape(1, -1).astype(dtype),

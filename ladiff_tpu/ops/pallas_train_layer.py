@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ladiff_tpu.ops.pallas_common import NEG_INF as _NEG_INF, dot as _dot, \
-    dot_t as _dot_t, dropout_masks as _masks
+    dot_t as _dot_t, dropout_masks as _masks, train_vmem_params as _vmem
 from ladiff_tpu.ops.pallas_train_attention import (_attn_fwd_core, _prep,
                                                    _unpad_head_columns,
                                                    _unpad_head_rows)
@@ -329,10 +329,10 @@ def _bwd(H, S, rate, activation, block_samples, res, dout):
         # the Bb=2 bwd at production shapes needs 16.2M scoped VMEM —
         # marginally over the 16M default; raising the scope only here is
         # safe (fwd/bwd mask agreement depends on block GEOMETRY, not on
-        # the VMEM budget) and measured faster than shrinking to Bb=1
+        # the VMEM budget)
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=_vmem(24)),
     )(seed_arr, xp, doutp, kvp, wqkv_s, bqkv_s, wout_s, bout_r,
       w1.astype(dtype), b1.reshape(1, -1),
       w2.astype(dtype), b2.reshape(1, -1),

@@ -123,17 +123,26 @@ def main():
         # by dispatch wobble).  ps=1 at bb>=2 splits the in-kernel attention
         # into per-sample [T,T] blocks (half the masked-score FLOPs).
         prev = {k: os.environ.get(k) for k in
-                ("LADIFF_DECODE_BLOCK", "LADIFF_DECODE_PERSAMPLE")}
+                ("LADIFF_DECODE_BLOCK", "LADIFF_DECODE_PERSAMPLE",
+                 "LADIFF_DECODE_VMEM_MB")}
         try:
             # bb8 joint layout exceeded VMEM ([8T,8T] scores); per-sample
             # splitting shrinks scores to 8x[T,T], which admits bb8 (the
-            # v5e winner, 12.79 ms).  bb16 OOMs scoped VMEM (22.4M > 16M)
-            for bb, ps in ((1, 1), (2, 0), (2, 1), (4, 0), (4, 1), (8, 1)):
+            # v5e winner, 12.79 ms).  bb16+ need a raised scoped-VMEM
+            # budget (bb16 = 22.4M vs the 16M default)
+            for bb, ps, mb in ((1, 1, 0), (2, 1, 0), (4, 1, 0), (8, 1, 0),
+                               (16, 1, 40), (32, 1, 72)):
                 os.environ["LADIFF_DECODE_BLOCK"] = str(bb)
                 os.environ["LADIFF_DECODE_PERSAMPLE"] = str(ps)
-                t = timeit(scanned(decode_body), params, rng0, iters=2,
-                           overhead=overhead) / K
-                print(json.dumps({"stage": f"decode_bb{bb}_ps{ps}",
+                os.environ["LADIFF_DECODE_VMEM_MB"] = str(mb)
+                try:
+                    t = timeit(scanned(decode_body), params, rng0, iters=2,
+                               overhead=overhead) / K
+                except Exception as e:
+                    print(json.dumps({"stage": f"decode_bb{bb}_ps{ps}",
+                                      "error": str(e)[:120]}))
+                    continue
+                print(json.dumps({"stage": f"decode_bb{bb}_ps{ps}_v{mb}",
                                   "ms_per_batch": round(t * 1e3, 2)}))
         finally:
             for k, v in prev.items():
