@@ -496,12 +496,19 @@ def check_decoder_layer_kernel():
         y = g @ w2 + b2
         return ln_(h + y * m2, l3s, l3b)
 
-    # rate 0 parity
+    # rate 0 parity.  Reference evaluated EAGERLY (op by op): jitting the
+    # reference changes ITS OWN output by ~1.1e-2 on this chain (measured
+    # jit-vs-eager on identical inputs; XLA fusion-level rounding across
+    # the three LN stages — matmul precision is NOT the factor, the
+    # jitted graph is bit-identical under default and highest), while the
+    # kernel matches the eager evaluation to ~4e-4.  Eager is the
+    # trustworthy ground truth on TPU (each op compiled alone, no
+    # cross-op fusion rounding).
     out = jax.jit(lambda: train_decoder_layer(
         x, kv, mem, mv, *args, lns, seed, H, S, L, 0.0, "gelu", Bb))()
-    want = jax.jit(lambda: xla_ref(x, mem, *args, lns))()
+    want = xla_ref(x, mem, *args, lns)
     d = float(jnp.abs(out - want).max())
-    print(f"dec-layer rate0 fwd max diff: {d:.2e}")
+    print(f"dec-layer rate0 fwd max diff vs eager ref: {d:.2e}")
     assert d < 5e-3, d
 
     argnums = (0, 1) + tuple(range(2, 15))
@@ -509,9 +516,9 @@ def check_decoder_layer_kernel():
         lambda x0, m0, *a: jnp.sum(train_decoder_layer(
             x0, kv, m0, mv, *a, seed, H, S, L, 0.0, "gelu", Bb) ** 2),
         argnums=argnums))(x, mem, *args, lns)
-    gx = jax.jit(jax.grad(
+    gx = jax.grad(
         lambda x0, m0, *a: jnp.sum(xla_ref(x0, m0, *a) ** 2),
-        argnums=argnums))(x, mem, *args, lns)
+        argnums=argnums)(x, mem, *args, lns)
     names = ["x", "mem", "sa_wqkv", "sa_bqkv", "sa_wout", "sa_bout",
              "ca_wqkv", "ca_bqkv", "ca_wout", "ca_bout",
              "w1", "b1", "w2", "b2", "lns"]
@@ -590,9 +597,9 @@ def check_decoder_layer_kernel():
 
     out_k = jax.jit(lambda: train_decoder_layer(
         x, kv, mem, mv, *args, lns, seed, H, S, L, rate, "gelu", Bb))()
-    out_x = jax.jit(lambda: xla_ref(
+    out_x = xla_ref(
         x, mem, *args, lns, sa_pm=sa_pm, sa_rm=sa_rm,
-        ca_pm=ca_pm, ca_rm=ca_rm, m1=m1, m2=m2))()
+        ca_pm=ca_pm, ca_rm=ca_rm, m1=m1, m2=m2)
     d = float(jnp.abs(out_k - out_x).max())
     print(f"dec-layer dropout fwd vs xla-with-extracted-masks: {d:.2e}")
     assert d < 5e-2, d
@@ -601,11 +608,11 @@ def check_decoder_layer_kernel():
         lambda x0, m0, *a: jnp.sum(train_decoder_layer(
             x0, kv, m0, mv, *a, seed, H, S, L, rate, "gelu", Bb) ** 2),
         argnums=argnums))(x, mem, *args, lns)
-    gx = jax.jit(jax.grad(
+    gx = jax.grad(
         lambda x0, m0, *a: jnp.sum(xla_ref(
             x0, m0, *a, sa_pm=sa_pm, sa_rm=sa_rm,
             ca_pm=ca_pm, ca_rm=ca_rm, m1=m1, m2=m2) ** 2),
-        argnums=argnums))(x, mem, *args, lns)
+        argnums=argnums)(x, mem, *args, lns)
     for n, a, b in zip(names, gk, gx):
         for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
             rel = float(jnp.abs(la - lb).max() / (jnp.abs(lb).max() + 1e-9))
