@@ -124,4 +124,21 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The axon relay's remote-compile helper occasionally fails transiently
+    # (HTTP 500 / timeouts); a retry re-enters through the persistent
+    # compile cache and normally succeeds (CLAUDE.md environment traps).
+    # One JSON line is still guaranteed on success.
+    import sys
+    import time as _time
+    last = None
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001 — retry any transient failure
+            last = e
+            print(f"# bench attempt {attempt + 1} failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            _time.sleep(20)
+    else:
+        raise last
