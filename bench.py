@@ -139,6 +139,7 @@ if __name__ == "__main__":
             last = e
             print(f"# bench attempt {attempt + 1} failed: "
                   f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-            _time.sleep(20)
+            if attempt < 2:
+                _time.sleep(20)
     else:
         raise last

@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["ln", "erf", "dot", "dot_t", "NEG_INF", "pallas_enabled",
-           "no_pallas", "dropout_masks", "train_vmem_params"]
+           "no_pallas", "dropout_masks", "scoped_vmem_bytes",
+           "train_vmem_params"]
 
 NEG_INF = -1e9  # large finite negative keeps softmax numerics safe in bf16
 
@@ -77,17 +78,23 @@ def dropout_masks(seed_ref, rate, shapes):
     return out
 
 
-def train_vmem_params(default_mb: int = 0):
-    """compiler_params kwargs for the TRAINING kernels' backward calls.
+def scoped_vmem_bytes(env_name: str, default_mb: int = 0):
+    """Scoped-VMEM budget for a kernel's pallas_call (trace-time).
 
-    LADIFF_TRAIN_VMEM_MB (trace-time) raises the scoped-VMEM budget so
-    larger sample blocks fit (the bwd kernels accumulate weight grads in
-    VMEM; at block_samples >= 4 they exceed the 16M default scope).
-    ``default_mb`` is used when the env var is unset; 0 = compiler
-    default.
+    The env var can only RAISE the budget above ``default_mb`` — several
+    kernels share one knob (e.g. LADIFF_TRAIN_VMEM_MB covers every
+    training backward), and a value tuned for one kernel's sweep must
+    never lower another kernel below its known-required default (the
+    whole-layer bwds need 24M/48M regardless).  0/unset anywhere = that
+    side contributes nothing; both zero = compiler default (None).
     """
-    mb = int(os.environ.get("LADIFF_TRAIN_VMEM_MB", str(default_mb)))
+    mb = max(int(os.environ.get(env_name, "0") or 0), default_mb)
     return mb * 1024 * 1024 if mb else None
+
+
+def train_vmem_params(default_mb: int = 0):
+    """scoped_vmem_bytes under the shared training-backward knob."""
+    return scoped_vmem_bytes("LADIFF_TRAIN_VMEM_MB", default_mb)
 
 
 def ln(x, scale, bias):

@@ -282,12 +282,12 @@ def fused_decoder_layer(
     kernel = functools.partial(_kernel, T=T, L=L, H=H, activation=activation,
                                per_sample=ps)
     # LADIFF_DECODE_VMEM_MB (trace-time) raises the scoped-VMEM budget so
-    # larger sample blocks fit: bb16 per-sample needs ~22.4M vs the 16M
+    # larger sample blocks fit: bb16 per-sample needs ~40M vs the 16M
     # default scope (PERF.md decode sweep).  0 = compiler default.
-    import os as _os
-    vmem_mb = int(_os.environ.get("LADIFF_DECODE_VMEM_MB", "0"))
+    from ladiff_tpu.ops.pallas_common import scoped_vmem_bytes
+    vmem = scoped_vmem_bytes("LADIFF_DECODE_VMEM_MB")
     extra = ({"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=vmem_mb * 1024 * 1024)} if vmem_mb else {})
+        vmem_limit_bytes=vmem)} if vmem else {})
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -82,6 +82,51 @@ def _attn_fwd_core(x, kval, wqkv, bqkv, masks, *, Bb, Sp, H, dtype):
     return q, k, v, jnp.concatenate(parts, axis=0)
 
 
+def _attn_bwd_core(q, k, v, dctx, kval, masks, *, Bb, Sp, H, scale, dtype):
+    """Backward of _attn_fwd_core's per-sample per-head attention.
+
+    Single home for the softmax+probs-dropout VJP (like dropout_masks: a
+    change here must apply to every training kernel at once or their
+    backwards silently diverge — this loop is shared by the split
+    attention kernel and both whole-layer kernels).  ``dctx`` [M, H*128]
+    f32 is the upstream gradient at the head-slot context; ``scale`` is
+    1/sqrt(Dh) (not derivable here: q/k/v are slot-padded to 128 lanes);
+    returns dqkv [M, 3*H*128] f32 in slot layout.
+    """
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for s in range(Bb):
+        sl = slice(s * Sp, (s + 1) * Sp)
+        bias = jnp.where(kval[:, sl] > 0.5, 0.0, _NEG_INF)
+        dqs, dks, dvs = [], [], []
+        for h in range(H):
+            hs = slice(h * 128, (h + 1) * 128)
+            qh, kh, vh = q[sl, hs], k[sl, hs], v[sl, hs]
+            sc = _dot_t(qh, kh) * scale + bias
+            p = jax.nn.softmax(sc, axis=-1)
+            m = masks[s * H + h]
+            a = (p * m).astype(dtype)
+            dctx_h = dctx[sl, hs].astype(dtype)
+            da = _dot_t(dctx_h, vh)                          # [Sp, Sp]
+            dvs.append(jax.lax.dot_general(
+                a, dctx_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dp = da * m
+            ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                  ).astype(dtype)
+            dqs.append(_dot(ds, kh) * scale)
+            dks.append(jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)
+        dq_parts.append(jnp.concatenate(dqs, axis=1))
+        dk_parts.append(jnp.concatenate(dks, axis=1))
+        dv_parts.append(jnp.concatenate(dvs, axis=1))
+    return jnp.concatenate([
+        jnp.concatenate(dq_parts, axis=0),
+        jnp.concatenate(dk_parts, axis=0),
+        jnp.concatenate(dv_parts, axis=0),
+    ], axis=1)                                               # [M, 3HP] f32
+
+
 def _fwd_kernel(seed_ref, x_ref, kvalid_ref, wqkv_ref, bqkv_ref,
                 wout_ref, bout_ref, out_ref, *, Bb: int, Sp: int, H: int,
                 rate: float):
@@ -125,39 +170,9 @@ def _bwd_kernel(seed_ref, x_ref, dout_ref, kvalid_ref, wqkv_ref, bqkv_ref,
                                 preferred_element_type=jnp.float32)
     dbout = jnp.sum(dattn.astype(jnp.float32), axis=0, keepdims=True)
 
-    # backward through per-sample per-head attention
-    dq_parts, dk_parts, dv_parts = [], [], []
-    for s in range(Bb):
-        sl = slice(s * Sp, (s + 1) * Sp)
-        bias = jnp.where(kval[:, sl] > 0.5, 0.0, _NEG_INF)
-        dqs, dks, dvs = [], [], []
-        for h in range(H):
-            hs = slice(h * 128, (h + 1) * 128)
-            qh, kh, vh = q[sl, hs], k[sl, hs], v[sl, hs]
-            sc = _dot_t(qh, kh) * scale + bias
-            p = jax.nn.softmax(sc, axis=-1)
-            m = masks[s * H + h]
-            a = (p * m).astype(dtype)
-            dctx_h = dctx[sl, hs].astype(dtype)
-            da = _dot_t(dctx_h, vh)                          # [Sp, Sp]
-            dvs.append(jax.lax.dot_general(
-                a, dctx_h, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-            dp = da * m
-            ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-                  ).astype(dtype)
-            dqs.append(_dot(ds, kh) * scale)
-            dks.append(jax.lax.dot_general(
-                ds, qh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale)
-        dq_parts.append(jnp.concatenate(dqs, axis=1))
-        dk_parts.append(jnp.concatenate(dks, axis=1))
-        dv_parts.append(jnp.concatenate(dvs, axis=1))
-    dqkv = jnp.concatenate([
-        jnp.concatenate(dq_parts, axis=0),
-        jnp.concatenate(dk_parts, axis=0),
-        jnp.concatenate(dv_parts, axis=0),
-    ], axis=1)                                               # [M, 3HP] f32
+    # backward through per-sample per-head attention (shared core)
+    dqkv = _attn_bwd_core(q, k, v, dctx, kval, masks, Bb=Bb, Sp=Sp, H=H,
+                          scale=scale, dtype=dtype)
 
     dwqkv = jax.lax.dot_general(x, dqkv.astype(dtype),
                                 (((0,), (0,)), ((), ())),

@@ -46,7 +46,8 @@ from ladiff_tpu.ops.pallas_common import NEG_INF as _NEG_INF, dot as _dot, \
     dot_t as _dot_t, dropout_masks as _masks, train_vmem_params as _vmem
 from ladiff_tpu.ops.pallas_decoder_layer import (pad_head_columns,
                                                  pad_head_rows)
-from ladiff_tpu.ops.pallas_train_attention import (_attn_fwd_core,
+from ladiff_tpu.ops.pallas_train_attention import (_attn_bwd_core,
+                                                   _attn_fwd_core,
                                                    _unpad_head_columns,
                                                    _unpad_head_rows)
 from ladiff_tpu.ops.pallas_train_ffn import (_act_fwd, _act_grad, _ln_bwd,
@@ -298,38 +299,8 @@ def _bwd_kernel(seed_ref, x_ref, dout_ref, kvalid_ref, mem_ref, mvalid_ref,
                                    preferred_element_type=jnp.float32)
     dsa_bout = jnp.sum(dattn.astype(jnp.float32), axis=0, keepdims=True)
 
-    dq_parts, dk_parts, dv_parts = [], [], []
-    for smp in range(Bb):
-        sl = slice(smp * Sp, (smp + 1) * Sp)
-        bias = jnp.where(kval[:, sl] > 0.5, 0.0, _NEG_INF)
-        dqs, dks, dvs = [], [], []
-        for hh in range(H):
-            hs = slice(hh * 128, (hh + 1) * 128)
-            qh, kh, vh = q[sl, hs], k[sl, hs], v[sl, hs]
-            sc = _dot_t(qh, kh) * scale + bias
-            p = jax.nn.softmax(sc, axis=-1)
-            m = masks[smp * H + hh]
-            a = (p * m).astype(dtype)
-            dctx_h = dctx[sl, hs].astype(dtype)
-            da = _dot_t(dctx_h, vh)
-            dvs.append(jax.lax.dot_general(
-                a, dctx_h, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-            dp = da * m
-            dsc = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-                   ).astype(dtype)
-            dqs.append(_dot(dsc, kh) * scale)
-            dks.append(jax.lax.dot_general(
-                dsc, qh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale)
-        dq_parts.append(jnp.concatenate(dqs, axis=1))
-        dk_parts.append(jnp.concatenate(dks, axis=1))
-        dv_parts.append(jnp.concatenate(dvs, axis=1))
-    dqkv = jnp.concatenate([
-        jnp.concatenate(dq_parts, axis=0),
-        jnp.concatenate(dk_parts, axis=0),
-        jnp.concatenate(dv_parts, axis=0),
-    ], axis=1)                                               # [M, 3HP] f32
+    dqkv = _attn_bwd_core(q, k, v, dctx, kval, masks, Bb=Bb, Sp=Sp, H=H,
+                          scale=scale, dtype=dtype)
 
     dsa_wqkv = jax.lax.dot_general(x, dqkv.astype(dtype),
                                    (((0,), (0,)), ((), ())),
@@ -437,6 +408,9 @@ def train_decoder_layer(x, kvalid, mem, mvalid,
     (ln1s, ln1b, ln2s, ln2b, ln3s, ln3b).  ``seed`` drives the in-kernel
     dropout PRNG.  Differentiable in x, mem, and every parameter.
     """
+    # the cross-attn probs-dropout masks are (Sp, 128) draws sliced to
+    # the padded memory width (a draw's lane count must be tile-legal)
+    assert L <= 128, f"memory length {L} > 128 unsupported with dropout"
     out, _ = _fwd(x, kvalid, mem, mvalid, sa_wqkv, sa_bqkv, sa_wout,
                   sa_bout, ca_wqkv, ca_bqkv, ca_wout, ca_bout,
                   w1, b1, w2, b2, lns, seed,

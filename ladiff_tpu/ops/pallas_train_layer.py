@@ -40,9 +40,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ladiff_tpu.ops.pallas_common import NEG_INF as _NEG_INF, dot as _dot, \
-    dot_t as _dot_t, dropout_masks as _masks, train_vmem_params as _vmem
-from ladiff_tpu.ops.pallas_train_attention import (_attn_fwd_core, _prep,
+from ladiff_tpu.ops.pallas_common import dot as _dot, dot_t as _dot_t, \
+    dropout_masks as _masks, train_vmem_params as _vmem
+from ladiff_tpu.ops.pallas_train_attention import (_attn_bwd_core,
+                                                   _attn_fwd_core, _prep,
                                                    _unpad_head_columns,
                                                    _unpad_head_rows)
 from ladiff_tpu.ops.pallas_train_ffn import (_act_fwd, _act_grad, _ln_bwd,
@@ -151,38 +152,8 @@ def _bwd_kernel(seed_ref, x_ref, dout_ref, kvalid_ref, wqkv_ref, bqkv_ref,
                                 preferred_element_type=jnp.float32)
     dbout = jnp.sum(dattn.astype(jnp.float32), axis=0, keepdims=True)
 
-    dq_parts, dk_parts, dv_parts = [], [], []
-    for smp in range(Bb):
-        sl = slice(smp * Sp, (smp + 1) * Sp)
-        bias = jnp.where(kval[:, sl] > 0.5, 0.0, _NEG_INF)
-        dqs, dks, dvs = [], [], []
-        for hh in range(H):
-            hs = slice(hh * 128, (hh + 1) * 128)
-            qh, kh, vh = q[sl, hs], k[sl, hs], v[sl, hs]
-            sc = _dot_t(qh, kh) * scale + bias
-            p = jax.nn.softmax(sc, axis=-1)
-            m = masks[smp * H + hh]
-            a = (p * m).astype(dtype)
-            dctx_h = dctx[sl, hs].astype(dtype)
-            da = _dot_t(dctx_h, vh)                          # [Sp, Sp]
-            dvs.append(jax.lax.dot_general(
-                a, dctx_h, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-            dp = da * m
-            dsc = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-                   ).astype(dtype)
-            dqs.append(_dot(dsc, kh) * scale)
-            dks.append(jax.lax.dot_general(
-                dsc, qh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale)
-        dq_parts.append(jnp.concatenate(dqs, axis=1))
-        dk_parts.append(jnp.concatenate(dks, axis=1))
-        dv_parts.append(jnp.concatenate(dvs, axis=1))
-    dqkv = jnp.concatenate([
-        jnp.concatenate(dq_parts, axis=0),
-        jnp.concatenate(dk_parts, axis=0),
-        jnp.concatenate(dv_parts, axis=0),
-    ], axis=1)                                               # [M, 3HP] f32
+    dqkv = _attn_bwd_core(q, k, v, dctx, kval, masks, Bb=Bb, Sp=Sp, H=H,
+                          scale=scale, dtype=dtype)
 
     dwqkv = jax.lax.dot_general(x, dqkv.astype(dtype),
                                 (((0,), (0,)), ((), ())),

@@ -116,6 +116,9 @@ def _train_fused_decoder_layer(mod, tgt, memory, tgt_key_valid,
     if not (D % 128 == 0 and mod.ff_size % 128 == 0
             and D // mod.num_heads <= 128 and tgt.shape[1] >= 32
             and memory.shape[-1] == D
+            # the kernel's cross-attn probs-dropout masks are drawn
+            # 128 lanes wide and sliced to the memory width
+            and memory.shape[1] <= 128
             and mod.activation in ("relu", "gelu")
             and not mod.is_initializing() and pallas_enabled()
             and (drop_rate == 0.0 or mod.has_rng("dropout"))

@@ -139,7 +139,7 @@ def main():
                     t = timeit(scanned(decode_body), params, rng0, iters=2,
                                overhead=overhead) / K
                 except Exception as e:
-                    print(json.dumps({"stage": f"decode_bb{bb}_ps{ps}",
+                    print(json.dumps({"stage": f"decode_bb{bb}_ps{ps}_v{mb}",
                                       "error": str(e)[:120]}))
                     continue
                 print(json.dumps({"stage": f"decode_bb{bb}_ps{ps}_v{mb}",

@@ -684,7 +684,11 @@ def test_train_whole_layer_route_rate0_matches_deterministic(monkeypatch):
     route through the whole-layer kernels (encoder AND decoder) and equal
     the deterministic XLA output.  The whole-layer kernels are opt-in
     (measured slower than the split kernels at production shapes on v5e —
-    PERF.md); this keeps the integration path covered."""
+    PERF.md); this keeps the integration path covered.  Kernel calls are
+    COUNTED: a silently broken routing gate would fall through to the
+    split kernels and still match at rate 0."""
+    import ladiff_tpu.ops.pallas_train_decoder_layer as ptdl
+    import ladiff_tpu.ops.pallas_train_layer as ptl
     from ladiff_tpu.ops.transformer import (TransformerDecoderLayer,
                                             TransformerEncoderLayer)
 
@@ -695,17 +699,32 @@ def test_train_whole_layer_route_rate0_matches_deterministic(monkeypatch):
     kvalid = jnp.asarray(np.arange(S)[None, :] < np.array([[21], [35]]))
     mvalid = jnp.asarray(np.arange(L)[None, :] < np.array([[2], [4]]))
 
+    calls = {"enc": 0, "dec": 0}
+    real_enc, real_dec = ptl.train_encoder_layer, ptdl.train_decoder_layer
+
+    def count_enc(*a, **k):
+        calls["enc"] += 1
+        return real_enc(*a, **k)
+
+    def count_dec(*a, **k):
+        calls["dec"] += 1
+        return real_dec(*a, **k)
+
+    monkeypatch.setattr(ptl, "train_encoder_layer", count_enc)
+    monkeypatch.setattr(ptdl, "train_decoder_layer", count_dec)
+    monkeypatch.setenv("LADIFF_TRAIN_WHOLE_LAYER", "1")
+    real_backend = jax.default_backend
+
     enc = TransformerEncoderLayer(D, H, 1024, dropout=0.0, activation="gelu")
     p_enc = enc.init(jax.random.PRNGKey(0), src, kvalid)
-    want = np.asarray(enc.apply(p_enc, src, kvalid))
-    monkeypatch.setenv("LADIFF_TRAIN_WHOLE_LAYER", "1")
+    want = np.asarray(enc.apply(p_enc, src, kvalid))  # CPU: plain XLA
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     got = _interpreted(lambda: np.asarray(enc.apply(
         p_enc, src, kvalid, deterministic=False)))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+    assert calls["enc"] == 1, calls
 
-    monkeypatch.undo()
-    monkeypatch.setenv("LADIFF_TRAIN_WHOLE_LAYER", "1")
+    monkeypatch.setattr(jax, "default_backend", real_backend)
     dec = TransformerDecoderLayer(D, H, 1024, dropout=0.0, activation="gelu")
     p_dec = dec.init(jax.random.PRNGKey(1), src, mem, kvalid, mvalid)
     want = np.asarray(dec.apply(p_dec, src, mem, kvalid, mvalid))
@@ -713,3 +732,4 @@ def test_train_whole_layer_route_rate0_matches_deterministic(monkeypatch):
     got = _interpreted(lambda: np.asarray(dec.apply(
         p_dec, src, mem, kvalid, mvalid, deterministic=False)))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+    assert calls["dec"] == 1, calls
