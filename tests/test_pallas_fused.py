@@ -527,7 +527,9 @@ def test_train_encoder_layer_rate0_matches_xla():
     from ladiff_tpu.ops.pallas_train_layer import train_encoder_layer
 
     rs = np.random.RandomState(4)
-    B, S, D, H, F = 3, 12, 256, 4, 512
+    # D=128/F=256 keep every layout path (head slots, 128-lane gates)
+    # exercised at a fraction of the interpret-mode cost
+    B, S, D, H, F = 3, 12, 128, 4, 256
     M = B * S
     x = jnp.asarray(rs.randn(M, D).astype(np.float32) * 0.5)
     kv = jnp.asarray((np.arange(S)[None, :]
@@ -596,7 +598,7 @@ def test_train_decoder_layer_rate0_matches_xla():
     from ladiff_tpu.ops.pallas_train_decoder_layer import train_decoder_layer
 
     rs = np.random.RandomState(6)
-    B, S, L, D, H, F = 2, 12, 5, 256, 4, 512
+    B, S, L, D, H, F = 2, 12, 5, 128, 4, 256
     M = B * S
     x = jnp.asarray(rs.randn(M, D).astype(np.float32) * 0.5)
     mem = jnp.asarray(rs.randn(B, L, D).astype(np.float32) * 0.5)
