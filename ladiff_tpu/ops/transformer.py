@@ -392,13 +392,18 @@ class TransformerDecoderLayer(nn.Module):
                 params, T=T, L=L, H=self.num_heads,
                 activation=self.activation,
                 # sweepable at trace time (scripts/breakdown.py --sweep).
-                # v5e winner: bb8 WITH the per-sample attention split
-                # (12.8 ms/batch-256 vs 14.6 for the old bb2 joint layout):
-                # per-sample [T,T] score blocks remove the block-diagonal
-                # waste, which also shrinks VMEM enough to double the
-                # sample block twice (fewer grid steps -> less weight
-                # streaming); bb16 exceeds the 16M VMEM scope (PERF.md)
-                block_samples=int(os.environ.get("LADIFF_DECODE_BLOCK", "8")),
+                # v5e winner at bf16: bb8 WITH the per-sample attention
+                # split (12.8 ms/batch-256 vs 14.6 for the old bb2 joint
+                # layout): per-sample [T,T] score blocks remove the
+                # block-diagonal waste, which also shrinks VMEM enough to
+                # double the sample block twice (fewer grid steps -> less
+                # weight streaming); bb16 exceeds the VMEM scope (PERF.md).
+                # f32 doubles every buffer — bb8 f32 needs 26.3M vs the
+                # 16M scope (caught by the test.py eval drive, which runs
+                # f32) — so the f32 default halves to bb4 (~13M, fits)
+                block_samples=int(os.environ.get(
+                    "LADIFF_DECODE_BLOCK",
+                    "8" if jnp.dtype(self.dtype) == jnp.bfloat16 else "4")),
                 per_sample_attention=os.environ.get(
                     "LADIFF_DECODE_PERSAMPLE", "1") == "1")
             return out.reshape(B, T, D)
