@@ -68,6 +68,17 @@ def _train_fused_tail(mod, resid_sum, ln_a, ln_b, drop_rate):
     return out.reshape(B, S, D)
 
 
+def decode_block_default(dtype) -> int:
+    """Default decode-kernel sample block for a compute dtype.
+
+    bf16: bb8 is the measured v5e winner (PERF.md sweep).  Wider dtypes
+    double every VMEM buffer — bb8 at f32 needs 26.3M against the 16M
+    scope (the test.py eval path runs f32; regression caught by the
+    end-to-end drive) — so they halve to bb4 (~13M, fits).
+    """
+    return 8 if jnp.dtype(dtype) == jnp.bfloat16 else 4
+
+
 def _train_fused_layer(mod, x, key_valid, drop_rate):
     """Whole-layer training kernel: self-attention + FFN tail in ONE
     fwd and ONE bwd pallas_call (pallas_train_layer.py) — saves the HBM
@@ -403,7 +414,7 @@ class TransformerDecoderLayer(nn.Module):
                 # f32) — so the f32 default halves to bb4 (~13M, fits)
                 block_samples=int(os.environ.get(
                     "LADIFF_DECODE_BLOCK",
-                    "8" if jnp.dtype(self.dtype) == jnp.bfloat16 else "4")),
+                    str(decode_block_default(self.dtype)))),
                 per_sample_attention=os.environ.get(
                     "LADIFF_DECODE_PERSAMPLE", "1") == "1")
             return out.reshape(B, T, D)

@@ -735,3 +735,15 @@ def test_train_whole_layer_route_rate0_matches_deterministic(monkeypatch):
         p_dec, src, mem, kvalid, mvalid, deterministic=False)))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
     assert calls["dec"] == 1, calls
+
+
+def test_decode_block_default_fits_vmem_per_dtype():
+    """The decode kernel's default sample block must shrink for dtypes
+    wider than bf16: bb8 at f32 needs 26.3M scoped VMEM against the 16M
+    budget (the benchmark-eval path runs f32 — a bb8-for-everything
+    default broke test.py on hardware)."""
+    from ladiff_tpu.ops.transformer import decode_block_default
+
+    assert decode_block_default(jnp.bfloat16) == 8
+    assert decode_block_default(jnp.float32) == 4
+    assert decode_block_default(jnp.float64) == 4
