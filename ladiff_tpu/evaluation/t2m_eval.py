@@ -122,10 +122,18 @@ def make_eval_step(system: LADiffSystem, evaluator: T2MEvaluator,
             z, _, _, _ = system.vae.apply(
                 {"params": params["vae"]}, motions, lengths,
                 rng=rng, deterministic=True, method=system.vae.encode)
-        feats_rst = system.vae.apply(
-            {"params": params["vae"]}, z, lengths,
-            nframes=motions.shape[1], deterministic=True,
-            method=system.vae.decode)
+        if system.vae_type == "no":
+            # feature-space diffusion (novae family): z already IS the
+            # features — mask padded frames like the decoder would
+            # (reference ladiff.py:911-912; system.generate does the same)
+            from ladiff_tpu.utils.masks import lengths_to_mask
+            frame_valid = lengths_to_mask(lengths, motions.shape[1])
+            feats_rst = jnp.where(frame_valid[:, :, None], z, 0.0)
+        else:
+            feats_rst = system.vae.apply(
+                {"params": params["vae"]}, z, lengths,
+                nframes=motions.shape[1], deterministic=True,
+                method=system.vae.decode)
 
         joints_rst = system.feats2joints(feats_rst)
         joints_ref = system.feats2joints(motions)

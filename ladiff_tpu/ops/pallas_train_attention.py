@@ -39,7 +39,30 @@ from ladiff_tpu.ops.pallas_common import NEG_INF as _NEG_INF, dot as _dot, \
 from ladiff_tpu.ops.pallas_decoder_layer import (pad_head_columns,
                                                  pad_head_rows)
 
-__all__ = ["train_self_attention"]
+__all__ = ["train_self_attention", "attn_block_default"]
+
+
+def attn_block_default(S: int, D: int, H: int) -> int:
+    """Largest sample block whose BACKWARD footprint fits the VMEM scope.
+
+    f32-conservative element model: slot weights + their f32 grad
+    accumulators cost 2*(3*D*HP + HP*D), each row costs ~(3D + 6HP)
+    across x/dout/dx and qkv/dqkv, plus a few [Sp, Sp] score blocks.
+    Returns 2 or 1, or 0 when even one sample per block exceeds the
+    budget — the caller then falls back to the XLA path (a D=512 f32
+    layer's weights alone approach the scope; caught by the novae
+    family's denoiser on hardware).  At the tuned production shape
+    (D=256, S=206) this returns the original default of 2.
+    """
+    HP = H * 128
+    Sp = -(-S // 8) * 8
+    budget_el = 13 * 1024 * 1024 // 4
+    weights_el = 2 * 4 * D * HP
+    per_row = 3 * D + 6 * HP
+    for bb in (2, 1):
+        if weights_el + bb * Sp * per_row + 3 * Sp * Sp <= budget_el:
+            return bb
+    return 0
 
 
 def _unpad_head_columns(w_pad, H, Dh):

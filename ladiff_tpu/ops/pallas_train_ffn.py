@@ -183,6 +183,24 @@ def _pad_rows(arr, Mb):
     return arr, Mp
 
 
+def _row_block(M, D, F):
+    """Row-block size whose BACKWARD footprint fits the 16M VMEM scope.
+
+    f32-conservative element model: weight mats + their f32 grad
+    accumulators cost 4*D*F, each row costs ~(4D + 3F) across
+    x/dout/dx/h/activations.  Target ~12M bytes for double-buffering
+    headroom.  At the tuned production shape (D=256, F=1024) this yields
+    exactly the original Mb=512 — identical mask geometry — while wider
+    layers shrink the block instead of OOMing the scope (caught by the
+    novae family's D=512 f32 denoiser on hardware).
+    """
+    budget_el = 12 * 1024 * 1024 // 4
+    weights_el = 4 * D * F
+    per_row = 4 * D + 3 * F
+    rows = (budget_el - weights_el) // per_row
+    return max(8, min(512, rows // 8 * 8, -(-M // 8) * 8))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def train_postnorm_ffn(x, w1, b1, w2, b2, ln1s, ln1b, ln2s, ln2b, seed,
                        activation: str = "gelu", rate: float = 0.0):
@@ -200,7 +218,7 @@ def train_postnorm_ffn(x, w1, b1, w2, b2, ln1s, ln1b, ln2s, ln2b, seed,
 def _fwd(x, w1, b1, w2, b2, ln1s, ln1b, ln2s, ln2b, seed, activation, rate):
     M, D = x.shape
     F = w1.shape[1]
-    Mb = min(512, -(-M // 8) * 8)
+    Mb = _row_block(M, D, F)
     xp, Mp = _pad_rows(x, Mb)  # zero rows: row-independent, outputs dropped
     _, _, row, mat, vec = _specs(Mb, D, F, 0)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -228,7 +246,7 @@ def _bwd(activation, rate, res, dout):
     F = w1.shape[1]
     # NOTE: bwd Mb must equal fwd Mb — the dropout mask of a row depends on
     # its (block index, offset) position, which both passes must agree on
-    Mb = min(512, -(-M // 8) * 8)
+    Mb = _row_block(M, D, F)
     xp, Mp = _pad_rows(x, Mb)
     # padded dout rows are zero => no contribution to any weight grad
     doutp, _ = _pad_rows(dout.astype(x.dtype), Mb)

@@ -180,13 +180,20 @@ def _train_fused_attn(mod, attn_mod, x, key_valid, drop_rate):
             and not mod.is_initializing() and pallas_enabled()
             and (drop_rate == 0.0 or mod.has_rng("dropout"))):
         return None
-    from ladiff_tpu.ops.pallas_train_attention import train_self_attention
+    from ladiff_tpu.ops.pallas_train_attention import (attn_block_default,
+                                                       train_self_attention)
+    B, S, _ = x.shape
+    bb_env = os.environ.get("LADIFF_TRAIN_ATTN_BLOCK", "")
+    bb = int(bb_env) if bb_env else attn_block_default(S, D, mod.num_heads)
+    if bb == 0:
+        # even a one-sample block exceeds the VMEM scope (wide layers):
+        # fall back to the XLA path
+        return None
     if drop_rate > 0.0:
         seed = jax.random.randint(mod.make_rng("dropout"), (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
     else:
         seed = jnp.int32(0)
-    B, S, _ = x.shape
     kv = (key_valid if key_valid is not None
           else jnp.ones((B, S), bool))
     p = attn_mod.variables["params"]
@@ -195,8 +202,7 @@ def _train_fused_attn(mod, attn_mod, x, key_valid, drop_rate):
         kv.reshape(B * S, 1).astype(jnp.float32),
         p["in_proj_kernel"], p["in_proj_bias"],
         p["out_proj"]["kernel"], p["out_proj"]["bias"],
-        seed, mod.num_heads, S, float(drop_rate),
-        int(os.environ.get("LADIFF_TRAIN_ATTN_BLOCK", "2")))
+        seed, mod.num_heads, S, float(drop_rate), bb)
     return out.reshape(B, S, D)
 
 

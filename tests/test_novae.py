@@ -54,3 +54,32 @@ def test_novae_training_step():
         losses.append(float(logs["total"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_novae_benchmark_eval_step():
+    """The t2m benchmark-eval step must handle the no-vae family: the
+    generated z IS the features (no decode, no vae params — regression:
+    the eval path unconditionally called vae.decode and died on the
+    novae family's empty vae tree during the hardware test.py drive)."""
+    from ladiff_tpu.evaluation.t2m_eval import T2MEvaluator, make_eval_step
+
+    system = novae_system()
+    params = system.init_params(jax.random.PRNGKey(0))
+    evaluator = T2MEvaluator.random_init(NFEATS)
+    step = make_eval_step(system, evaluator, np.zeros(NFEATS, np.float32),
+                          np.ones(NFEATS, np.float32), stage="diffusion")
+    B = 2
+    rs = np.random.RandomState(0)
+    batch = {
+        "motion": jnp.asarray(rs.randn(B, T, NFEATS).astype(np.float32)),
+        "length": jnp.array([T, 40], jnp.int32),
+        "word_embs": jnp.zeros((B, 4, 300), jnp.float32),
+        "pos_ohot": jnp.zeros((B, 4, 15), jnp.float32),
+        "text_len": jnp.full((B,), 4, jnp.int32),
+    }
+    out = step(params, batch, jnp.ones((B, 1, 48)), jnp.zeros((B, 1, 48)),
+               jax.random.PRNGKey(1))
+    assert out["lat_rm"].shape == (B, 512)
+    assert np.isfinite(np.asarray(out["lat_rm"])).all()
+    # feature-space z: padded frames of the generated features are zeroed
+    assert out["z"].shape == (B, T, NFEATS)
