@@ -203,6 +203,13 @@ def _get_action_dataset(cfg, name: str, base, phase: str = "train"):
             print(f"WARNING: using SYNTHETIC humanact12 at {root}")
         ds = HumanAct12Dataset(root, **kwargs)
     else:
+        if (not os.path.exists(pjoin(root, "vibe_cache_refined.pkl"))
+                and os.environ.get("LADIFF_SYNTHETIC_DATA", "") == "1"):
+            from ladiff_tpu.data.a2m import generate_synthetic_uestc
+            root = pjoin("datasets", "synthetic_uestc")
+            if not os.path.exists(pjoin(root, "vibe_cache_refined.pkl")):
+                generate_synthetic_uestc(root)
+            print(f"WARNING: using SYNTHETIC uestc at {root}")
         ds = UESTCDataset(root, **kwargs)
     cfg.DATASET.NFEATS = ds.nfeats
     cfg.DATASET.NJOINTS = 24 + int(ds.translation)
