@@ -53,7 +53,21 @@ from ladiff_tpu.ops.pallas_train_attention import (_attn_bwd_core,
 from ladiff_tpu.ops.pallas_train_ffn import (_act_fwd, _act_grad, _ln_bwd,
                                              _ln_fwd)
 
-__all__ = ["train_decoder_layer"]
+__all__ = ["train_decoder_layer", "decoder_layer_vmem_mb"]
+
+
+def decoder_layer_vmem_mb(S: int, L: int, D: int, H: int, F: int,
+                          block_samples: int = 2) -> int:
+    """Conservative scoped-VMEM estimate (MB) for the backward kernel
+    (see encoder_layer_vmem_mb; adds the cross-attention weights)."""
+    HP = H * 128
+    Sp = -(-S // 8) * 8
+    Lp = -(-L // 8) * 8
+    Bb = max(1, block_samples)
+    el = (2 * (4 * D * HP + 2 * D * HP + 2 * D * D + 2 * D * F)
+          + Bb * Sp * (3 * D + 6 * HP + 3 * F + 2 * 128)
+          + Bb * Lp * 4 * D + 3 * Sp * Sp)
+    return int(el * 4 * 1.3 / (1024 * 1024)) + 1
 
 
 def _mask_shapes(Bb, Sp, Lp, H, M, D, F):
@@ -462,6 +476,10 @@ def _fwd(x, kvalid, mem, mvalid, sa_wqkv, sa_bqkv, sa_wout, sa_bout,
             out_specs=row(D),
         ),
         out_shape=jax.ShapeDtypeStruct((Bp * Sp, D), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem(max(
+                16, decoder_layer_vmem_mb(S, L, D, H, F,
+                                          block_samples) // 2))),
     )(seed_arr, xp, kvp, mem_rows, mval_rows,
       sa_wqkv_s, sa_bqkv_s, sa_wout_s,
       sa_bout.reshape(1, -1).astype(dtype),
@@ -548,7 +566,9 @@ def _bwd(H, S, L, rate, activation, block_samples, res, dout):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_vmem(48)),
+            vmem_limit_bytes=_vmem(max(
+                48, decoder_layer_vmem_mb(S, L, D, H, w1.shape[1],
+                                          block_samples)))),
     )(seed_arr, xp, doutp, kvp, mem_rows, mval_rows,
       sa_wqkv_s, sa_bqkv_s, sa_wout_s,
       sa_bout.reshape(1, -1).astype(dtype),

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ladiff_tpu.ops.pallas_common import erf as _erf, dot as _dot
 from ladiff_tpu.ops.pallas_common import dropout_masks as _masks
 
-__all__ = ["train_postnorm_ffn"]
+__all__ = ["train_postnorm_ffn", "_row_block"]
 
 _EPS = 1e-5
 _INV_SQRT2 = 0.7071067811865476
@@ -198,6 +198,10 @@ def _row_block(M, D, F):
     weights_el = 4 * D * F
     per_row = 4 * D + 3 * F
     rows = (budget_el - weights_el) // per_row
+    if rows < 8:
+        # the weight matrices + grad accumulators alone exceed the scope:
+        # no row block can fit — caller must fall back to the XLA path
+        return 0
     return max(8, min(512, rows // 8 * 8, -(-M // 8) * 8))
 
 
@@ -210,6 +214,8 @@ def train_postnorm_ffn(x, w1, b1, w2, b2, ln1s, ln1b, ln2s, ln2b, seed,
     combined with the grid index it drives the in-kernel dropout PRNG
     (forward and backward regenerate identical masks).
     """
+    assert _row_block(x.shape[0], x.shape[1], w1.shape[1]) > 0, \
+        "layer too wide for the VMEM scope — gate off via _row_block"
     out, _ = _fwd(x, w1, b1, w2, b2, ln1s, ln1b, ln2s, ln2b, seed,
                   activation, rate)
     return out

@@ -49,7 +49,24 @@ from ladiff_tpu.ops.pallas_train_attention import (_attn_bwd_core,
 from ladiff_tpu.ops.pallas_train_ffn import (_act_fwd, _act_grad, _ln_bwd,
                                              _ln_fwd)
 
-__all__ = ["train_encoder_layer"]
+__all__ = ["train_encoder_layer", "encoder_layer_vmem_mb"]
+
+
+def encoder_layer_vmem_mb(S: int, D: int, H: int, F: int,
+                          block_samples: int = 2) -> int:
+    """Conservative scoped-VMEM estimate (MB) for the backward kernel.
+
+    Element model: slot weights + f32 grad accumulators
+    2*(4*D*HP + 2*D*F), row tensors Bb*Sp*(3D + 6HP + 3F), 1.3x margin.
+    Used as the kernel's vmem_limit default (env can only raise) and as
+    an engagement cap — callers should fall back to XLA beyond ~96MB.
+    """
+    HP = H * 128
+    Sp = -(-S // 8) * 8
+    Bb = max(1, block_samples)
+    el = (2 * (4 * D * HP + 2 * D * F)
+          + Bb * Sp * (3 * D + 6 * HP + 3 * F) + 3 * Sp * Sp)
+    return int(el * 4 * 1.3 / (1024 * 1024)) + 1
 
 
 def _mask_shapes(Bb, Sp, H, M, D, F):
@@ -233,6 +250,9 @@ def _fwd(x, kvalid, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
             out_specs=row(D),
         ),
         out_shape=jax.ShapeDtypeStruct((Bp * Sp, D), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem(max(
+                16, encoder_layer_vmem_mb(S, D, H, F, block_samples) // 2))),
     )(seed_arr, xp, kvp, wqkv_s, bqkv_s, wout_s, bout_r,
       w1.astype(dtype), b1.reshape(1, -1),
       w2.astype(dtype), b2.reshape(1, -1),
@@ -303,7 +323,9 @@ def _bwd(H, S, rate, activation, block_samples, res, dout):
         # the VMEM budget)
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_vmem(24)),
+            vmem_limit_bytes=_vmem(max(
+                24, encoder_layer_vmem_mb(S, D, H, w1.shape[1],
+                                          block_samples)))),
     )(seed_arr, xp, doutp, kvp, wqkv_s, bqkv_s, wout_s, bout_r,
       w1.astype(dtype), b1.reshape(1, -1),
       w2.astype(dtype), b2.reshape(1, -1),

@@ -52,13 +52,18 @@ def _train_fused_tail(mod, resid_sum, ln_a, ln_b, drop_rate):
             and mod.activation in ("relu", "gelu") and pallas_enabled()
             and (drop_rate == 0.0 or mod.has_rng("dropout"))):
         return None
-    from ladiff_tpu.ops.pallas_train_ffn import train_postnorm_ffn
+    from ladiff_tpu.ops.pallas_train_ffn import (_row_block,
+                                                 train_postnorm_ffn)
+    B, S, _ = resid_sum.shape
+    if _row_block(B * S, D, mod.ff_size) == 0:
+        # weight matrices + grad accumulators alone exceed the VMEM
+        # scope for very wide layers: fall back to XLA
+        return None
     if drop_rate > 0.0:
         seed = jax.random.randint(mod.make_rng("dropout"), (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
     else:
         seed = jnp.int32(0)
-    B, S, _ = resid_sum.shape
     out = train_postnorm_ffn(
         resid_sum.reshape(B * S, D).astype(mod.dtype),
         mod.linear1.kernel, mod.linear1.bias,
@@ -94,7 +99,12 @@ def _train_fused_layer(mod, x, key_valid, drop_rate):
             and os.environ.get("LADIFF_TRAIN_WHOLE_LAYER", "0")
             in ("1", "enc")):
         return None
-    from ladiff_tpu.ops.pallas_train_layer import train_encoder_layer
+    from ladiff_tpu.ops.pallas_train_layer import (encoder_layer_vmem_mb,
+                                                   train_encoder_layer)
+    bb_wl = int(os.environ.get("LADIFF_TRAIN_ATTN_BLOCK", "2"))
+    if encoder_layer_vmem_mb(x.shape[1], D, mod.num_heads, mod.ff_size,
+                             bb_wl) > 96:
+        return None  # beyond any reasonable VMEM scope: XLA fallback
     if drop_rate > 0.0:
         seed = jax.random.randint(mod.make_rng("dropout"), (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
@@ -112,8 +122,7 @@ def _train_fused_layer(mod, x, key_valid, drop_rate):
         mod.linear1.kernel, mod.linear1.bias,
         mod.linear2.kernel, mod.linear2.bias,
         mod.norm1.scale, mod.norm1.bias, mod.norm2.scale, mod.norm2.bias,
-        seed, mod.num_heads, S, float(drop_rate), mod.activation,
-        int(os.environ.get("LADIFF_TRAIN_ATTN_BLOCK", "2")))
+        seed, mod.num_heads, S, float(drop_rate), mod.activation, bb_wl)
     return out.reshape(B, S, D)
 
 
@@ -136,7 +145,12 @@ def _train_fused_decoder_layer(mod, tgt, memory, tgt_key_valid,
             and os.environ.get("LADIFF_TRAIN_WHOLE_LAYER", "0")
             in ("1", "dec")):
         return None
-    from ladiff_tpu.ops.pallas_train_decoder_layer import train_decoder_layer
+    from ladiff_tpu.ops.pallas_train_decoder_layer import (
+        decoder_layer_vmem_mb, train_decoder_layer)
+    bb_wl = int(os.environ.get("LADIFF_TRAIN_ATTN_BLOCK", "2"))
+    if decoder_layer_vmem_mb(tgt.shape[1], memory.shape[1], D,
+                             mod.num_heads, mod.ff_size, bb_wl) > 96:
+        return None  # beyond any reasonable VMEM scope: XLA fallback
     if drop_rate > 0.0:
         seed = jax.random.randint(mod.make_rng("dropout"), (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
@@ -163,7 +177,7 @@ def _train_fused_decoder_layer(mod, tgt, memory, tgt_key_valid,
         (mod.norm1.scale, mod.norm1.bias, mod.norm2.scale, mod.norm2.bias,
          mod.norm3.scale, mod.norm3.bias),
         seed, mod.num_heads, S, L, float(drop_rate), mod.activation,
-        int(os.environ.get("LADIFF_TRAIN_ATTN_BLOCK", "2")))
+        bb_wl)
     return out.reshape(B, S, D)
 
 

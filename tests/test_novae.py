@@ -77,9 +77,24 @@ def test_novae_benchmark_eval_step():
         "pos_ohot": jnp.zeros((B, 4, 15), jnp.float32),
         "text_len": jnp.full((B,), 4, jnp.int32),
     }
-    out = step(params, batch, jnp.ones((B, 1, 48)), jnp.zeros((B, 1, 48)),
-               jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(1)
+    cond, uncond = jnp.ones((B, 1, 48)), jnp.zeros((B, 1, 48))
+    out = step(params, batch, cond, uncond, rng)
     assert out["lat_rm"].shape == (B, 512)
     assert np.isfinite(np.asarray(out["lat_rm"])).all()
-    # feature-space z: padded frames of the generated features are zeroed
     assert out["z"].shape == (B, T, NFEATS)
+
+    # pin the frame-masked passthrough: recompute the eval step's recons
+    # embedding from the same sampler output with the mask applied — if
+    # the step stopped masking padded frames (or went back through a
+    # decode), this diverges
+    from ladiff_tpu.utils.masks import lengths_to_mask
+    z = system.diffusion_reverse(params["denoiser"], cond, uncond,
+                                 batch["length"], rng)
+    fv = lengths_to_mask(batch["length"], T)
+    feats = jnp.where(fv[:, :, None], z, 0.0)
+    want = evaluator.encode_motion(feats, batch["length"])
+    # atol covers the eval step's identity renorm arithmetic (~2e-5);
+    # dropping the mask moves these embeddings at the 1e-1 scale
+    np.testing.assert_allclose(np.asarray(out["lat_rm"]), np.asarray(want),
+                               atol=1e-3)
