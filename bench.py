@@ -130,15 +130,29 @@ if __name__ == "__main__":
     # One JSON line is still guaranteed on success.
     import sys
     import time as _time
+
+    def _is_transient(e: Exception) -> bool:
+        # the remote-compile helper surfaces failures as RuntimeError/OSError
+        # with HTTP/timeout text (and raw socket timeouts); config errors or
+        # real regressions (ValueError/AssertionError/...) fail immediately
+        if isinstance(e, (TimeoutError, ConnectionError, OSError)):
+            return True
+        msg = str(e).lower()
+        return isinstance(e, RuntimeError) and any(
+            s in msg for s in ("timeout", "timed out", "http", "unavailable",
+                               "deadline", "connection", "socket"))
+
     last = None
     for attempt in range(3):
         try:
             main()
             break
-        except Exception as e:  # noqa: BLE001 — retry any transient failure
+        except Exception as e:  # noqa: BLE001 — classified below
             last = e
             print(f"# bench attempt {attempt + 1} failed: "
                   f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            if not _is_transient(e):
+                raise
             if attempt < 2:
                 _time.sleep(20)
     else:

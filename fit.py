@@ -91,6 +91,10 @@ def main():
     ap.add_argument("--gmm", type=str, default="deps/gmm",
                     help="folder with gmm_06.pkl (SMPLify pose prior); "
                          "falls back to an L2 prior when absent")
+    ap.add_argument("--num_joints", type=int, default=0,
+                    help="22 = HumanML3D (no resample), 21 = KIT mmm "
+                         "(100 -> 12.5 fps decimation + smplh scaling, "
+                         "reference fit.py:171-185); 0 = infer from data")
     args = ap.parse_args()
 
     model = SMPLModel.load(args.smpl)
@@ -107,11 +111,20 @@ def main():
     if not files:
         ap.error("provide --npy or --dir")
 
+    from ladiff_tpu.data.framerate import subsample
+    from ladiff_tpu.utils.joints import mmm_to_smplh_scaling_factor
+
     for f in files:
         joints = np.load(f)
         if joints.ndim != 3:
             print(f"skipping {f}: expected [T, J, 3]")
             continue
+        nj = args.num_joints or joints.shape[1]
+        if nj == 21:
+            # KIT mmm joints: 100 fps capture decimated to 12.5 fps and
+            # rescaled into smpl-h units (reference fit.py:177-185)
+            joints = joints[subsample(len(joints), 100, 12.5)]
+            joints = joints * mmm_to_smplh_scaling_factor
         print(f"fitting {f} ({joints.shape[0]} frames)...")
         params, loss = fit_sequence(model, joints, iters=args.iters,
                                     gmm_dir=args.gmm, verbose=True)

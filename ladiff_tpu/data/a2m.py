@@ -115,6 +115,21 @@ class _ActionDataset:
             feats = np.concatenate([feats, padded], axis=1)
         return feats.astype(np.float32)
 
+    @staticmethod
+    def _flatten_channel_major(feats: np.ndarray) -> np.ndarray:
+        """[T, J+1, 6] -> [T, 6*(J+1)] with feature index c*(J+1) + v.
+
+        The reference flattens CHANNEL-major: per-item [J+1, 6, T] tensors
+        collate to [B, J+1, 6, T], then ``permute(0, 3, 2, 1).flatten(2)``
+        (data/utils.py:91) — every downstream consumer (the classifier
+        slicing at ladiff.py:1475-1483 and Rotation2xyz's
+        ``view(B, T, 6, 25)`` unpack at ladiff.py:152-153) assumes this
+        order.  A joint-major flatten trains fine (dense layers absorb any
+        fixed permutation) but scrambles rotations for the released
+        classifiers and the SMPL forward pass."""
+        return np.ascontiguousarray(feats.transpose(0, 2, 1)).reshape(
+            feats.shape[0], -1)
+
     def __getitem__(self, index: int) -> dict:
         ids = self._train if self.split == "train" else self._test
         ind = ids[index]
@@ -128,7 +143,8 @@ class _ActionDataset:
         feats = self._featurize(pose, joints)  # [T, J(+1), 6]
         action = int(self._actions[ind])
         return {
-            "motion": feats.reshape(feats.shape[0], -1),  # [T, (J+1)*6]
+            # [T, 6*(J+1)], reference channel-major feature order
+            "motion": self._flatten_channel_major(feats),
             "action": action,
             "action_text": self._action_classes[action],
             "length": min(nframes, self.num_frames),

@@ -26,16 +26,26 @@ def make_a2m_eval_step(system, vae, classifier, classifier_params,
     """jitted (params, batch, rng) -> features/logits for gen + gt.
 
     ``system`` here is an action-conditioned LADiffSystem whose denoiser has
-    condition="action"; ``vae`` is the ActorVae.  The classifier consumes
-    [B, T, F] rot6d features (GRU flattens; STGCN reshapes to joints).
+    condition="action"; ``vae`` is the ActorVae.  Classifier inputs follow
+    the reference protocol exactly:
+      * HumanAct12 GRU: 24x3 SMPL joints from the Rotation2xyz forward pass
+        (reference joints_eval_rst/ref, ladiff.py:1311-1314, consumed by
+        HUMANACTMetrics' input_size=72 classifier at :1470-1474), flattened
+        joints-major — the order the reference GRU sees after its
+        reshape(bs, 24*3, T).permute(2,0,1) (humanact12_gru.py:28-31);
+      * UESTC ST-GCN: raw rot6d features, channel-major reshape with the
+        translation node dropped (ladiff.py:1475-1483).
 
     ``mesh``: optional data mesh — batch shards over the ``data`` axis and
     params replicate, mirroring make_eval_step (t2m_eval.py)."""
 
-    def classify(motion, lengths):
+    def classify(motion, lengths, mask):
         if classifier_kind == "gru":
+            joints = system.feats2joints_action_eval(motion, mask)
+            B, T = joints.shape[:2]
             feats, logits = classifier.apply(
-                {"params": classifier_params}, motion, lengths)
+                {"params": classifier_params}, joints.reshape(B, T, -1),
+                lengths)
         else:
             # reference slicing (ladiff.py:1475-1483): channel-major rot6d
             # reshape, translation node dropped -> 24-joint smpl graph
@@ -59,8 +69,9 @@ def make_a2m_eval_step(system, vae, classifier, classifier_params,
             {"params": params["vae"]}, z, lengths,
             nframes=batch["motion"].shape[1], deterministic=True,
             method=vae.decode)
-        rec_f, rec_l = classify(feats_rst, lengths)
-        gt_f, gt_l = classify(batch["motion"], lengths)
+        mask = batch["mask"]
+        rec_f, rec_l = classify(feats_rst, lengths, mask)
+        gt_f, gt_l = classify(batch["motion"], lengths, mask)
         return {"rec_feats": rec_f, "rec_logits": rec_l,
                 "gt_feats": gt_f, "gt_logits": gt_l,
                 "feats_rst": feats_rst}

@@ -80,9 +80,16 @@ class T2MEvaluator:
                       lengths: jax.Array) -> jax.Array:
         """[B, T, F] renormed features -> [B, 512]
         (reference ladiff.py:1264-1267: moveencoder on feats[..., :-4],
-        motionencoder with m_lens // unit_len)."""
+        motionencoder with m_lens // unit_len).
+
+        ``valid_length = max(lengths)`` replicates the reference's
+        batch-max cropping (its collate pads to the batch's longest sample,
+        data/utils.py:12), so boundary conv windows read the same zero
+        padding they do in torch — static padding beyond the batch max
+        never leaks into consumed embeddings."""
         mov = self.movement.apply({"params": self.params["movement"]},
-                                  feats_renormed[..., :-4])
+                                  feats_renormed[..., :-4],
+                                  valid_length=jnp.max(lengths))
         m_lens = jnp.maximum(lengths // self.unit_length, 1)
         return self.motion.apply({"params": self.params["motion"]}, mov, m_lens)
 
@@ -124,8 +131,10 @@ def make_eval_step(system: LADiffSystem, evaluator: T2MEvaluator,
                 rng=rng, deterministic=True, method=system.vae.encode)
         if system.vae_type == "no":
             # feature-space diffusion (novae family): z already IS the
-            # features — mask padded frames like the decoder would
-            # (reference ladiff.py:911-912; system.generate does the same)
+            # features — mask padded frames like the sampler's row masking
+            # in diffusion_reverse does (models/ladiff.py lat_valid =
+            # frame_valid there; the reference instead leaves noise in
+            # padded frames and zeroes at the consumer, ladiff.py:911-912)
             from ladiff_tpu.utils.masks import lengths_to_mask
             frame_valid = lengths_to_mask(lengths, motions.shape[1])
             feats_rst = jnp.where(frame_valid[:, :, None], z, 0.0)

@@ -48,12 +48,26 @@ class LossWeights:
     @classmethod
     def from_cfg(cls, cfg) -> "LossWeights":
         L = cfg.LOSS
+        prior = float(L.get("LAMBDA_PRIOR", 0.0))
+        if prior != 0.0:
+            # The reference's own nonzero-LAMBDA_PRIOR path is broken as
+            # shipped: losses/mld.py:119-123 reads rs_set['dist_m1'], which
+            # no forward ever produces (_diffusion_process only emits
+            # noise/noise_prior/noise_pred/noise_pred_prior, ladiff.py:
+            # 797-808) — it KeyErrors on the first training step.  Every
+            # shipped config pins 0.0.  Fail at config-parse time instead of
+            # silently training a different objective.
+            raise ValueError(
+                f"LOSS.LAMBDA_PRIOR={prior} is not supported: the reference "
+                "implementation crashes on any nonzero value (missing "
+                "'dist_m1' in the loss update) and all released configs use "
+                "0.0; see PARITY.md")
         return cls(
             lambda_rec=float(L.get("LAMBDA_REC", 1.0)),
             lambda_joint=float(L.get("LAMBDA_JOINT", 1.0)),
             lambda_kl=float(L.get("LAMBDA_KL", 1.0e-4)),
             lambda_gen=float(L.get("LAMBDA_GEN", 1.0)),
-            lambda_prior=float(L.get("LAMBDA_PRIOR", 0.0)),
+            lambda_prior=prior,
         )
 
 
@@ -68,7 +82,9 @@ def vae_loss(
     # mantissa, and the KL's exp() needs the range
     f32 = lambda x: x.astype(jnp.float32)
     recons_feature = smooth_l1(f32(feats_rst), f32(feats_ref))
-    # joints None on the action path (rot6d features; no RIC recovery)
+    # text path: RIC-recovered joints; action path: SMPL vertices via
+    # Rotation2xyz (reference ladiff.py:164-173, 834-837) — None only when a
+    # caller has no joint representation at all
     recons_joints = (smooth_l1(f32(joints_rst), f32(joints_ref))
                      if joints_rst is not None else jnp.float32(0.0))
     kl_motion = kl_normal_standard(f32(mu), f32(logvar))

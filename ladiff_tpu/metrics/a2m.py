@@ -52,14 +52,30 @@ def a2m_diversity_multimodality(activations: np.ndarray, labels: np.ndarray,
 
 class ActionClassifierMetrics:
     """Shared accumulator for HUMANACT (GRU) / UESTC (STGCN) metrics; the
-    caller runs the classifier (on TPU) and feeds features + logits here."""
+    caller runs the classifier (on TPU) and feeds features + logits here.
+
+    Protocol notes (reference metrics/gru.py:97-145):
+      * the GT diversity/multimodality pass uses the FUNCTION defaults
+        (200/20, utils.py:410-413) regardless of the configured gen-side
+        times — ``gt_*`` mirror that, overridable for tiny test datasets;
+      * all index draws are with replacement and uncapped, exactly like
+        the reference's np.random.randint stream (so identically seeded
+        streams yield identical numbers);
+      * the gt-vs-shuffled-gt FID permutation comes from a SEPARATE stream
+        (the reference draws it from torch.randperm, which never touches
+        the np.random stream the diversity draws consume)."""
 
     def __init__(self, num_labels: int, diversity_times: int = 200,
-                 multimodality_times: int = 20, seed: int = 0):
+                 multimodality_times: int = 20, seed: int = 0,
+                 gt_diversity_times: int = 200,
+                 gt_multimodality_times: int = 20):
         self.num_labels = num_labels
         self.diversity_times = diversity_times
         self.multimodality_times = multimodality_times
+        self.gt_diversity_times = gt_diversity_times
+        self.gt_multimodality_times = gt_multimodality_times
         self.rng = np.random.RandomState(seed)
+        self.perm_rng = np.random.RandomState(seed + 0x5EED)
         self.reset()
 
     def reset(self):
@@ -88,7 +104,7 @@ class ActionClassifierMetrics:
         labels = np.concatenate(self.labels)
         rec = np.concatenate(self.rec_feats, axis=0)
         gt = np.concatenate(self.gt_feats, axis=0)
-        gt_shuffled = gt[self.rng.permutation(len(gt))]
+        gt_shuffled = gt[self.perm_rng.permutation(len(gt))]
 
         out = {
             "accuracy": float(np.trace(self.confusion)
@@ -102,13 +118,16 @@ class ActionClassifierMetrics:
         out["FID"] = calculate_frechet_distance(*gtstats, *genstats)
         out["gt_FID"] = calculate_frechet_distance(*gtstats, *gtstats2)
 
-        dt = min(self.diversity_times, len(rec) - 1)
-        mt = min(self.multimodality_times, len(rec) - 1)
-        if dt > 0 and mt > 0:
+        if len(rec) > 0:
+            # draw order matches the reference compute (gru.py:118-129):
+            # gen with the configured times, then gt with its own times —
+            # the same np.random-style stream serves both in sequence
             div, mm = a2m_diversity_multimodality(
-                rec, labels, self.num_labels, dt, mt, self.rng)
+                rec, labels, self.num_labels, self.diversity_times,
+                self.multimodality_times, self.rng)
             out["Diversity"], out["Multimodality"] = div, mm
             div, mm = a2m_diversity_multimodality(
-                gt, labels, self.num_labels, dt, mt, self.rng)
+                gt, labels, self.num_labels, self.gt_diversity_times,
+                self.gt_multimodality_times, self.rng)
             out["gt_Diversity"], out["gt_Multimodality"] = div, mm
         return out

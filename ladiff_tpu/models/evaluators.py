@@ -76,18 +76,35 @@ def bigru_last(fwd: Dict[str, jax.Array], bwd: Dict[str, jax.Array],
 
 
 class MovementConvEncoder(nn.Module):
-    """Two stride-2 conv blocks + linear (reference t2m_motionenc.py:6-25)."""
+    """Two stride-2 conv blocks + linear (reference t2m_motionenc.py:6-25).
+
+    ``valid_length`` (scalar, traced) reproduces the reference's batch-max
+    padding semantics under our static-length tensors: the torch pipeline
+    runs the conv on tensors cropped to the batch's longest length Lb, so
+    windows that cross the boundary read the convs' OWN zero padding.  With
+    a static T > Lb those positions hold real (renormed-junk / bias) values
+    instead; zeroing the input rows >= Lb and the post-activation rows >=
+    L1 = (Lb-2)//2 + 1 (exactly where torch conv2's padding zero sits)
+    makes every consumed output bit-match the cropped computation."""
 
     hidden_size: int = 512
     output_size: int = 512
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        # x: [B, T, F-4] -> [B, T//4, output]
+    def __call__(self, x: jax.Array,
+                 valid_length: jax.Array | None = None) -> jax.Array:
+        # x: [B, T, F-4] -> [B, T//2//2, output]
+        if valid_length is not None:
+            idx = jnp.arange(x.shape[1])
+            x = jnp.where((idx < valid_length)[None, :, None], x, 0.0)
         x = nn.Conv(self.hidden_size, (4,), strides=(2,), padding=[(1, 1)],
                     dtype=self.dtype, name="conv1")(x)
         x = leaky_relu(x)
+        if valid_length is not None:
+            l1 = (valid_length - 2) // 2 + 1
+            idx1 = jnp.arange(x.shape[1])
+            x = jnp.where((idx1 < l1)[None, :, None], x, 0.0)
         x = nn.Conv(self.output_size, (4,), strides=(2,), padding=[(1, 1)],
                     dtype=self.dtype, name="conv2")(x)
         x = leaky_relu(x)

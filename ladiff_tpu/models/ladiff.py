@@ -34,6 +34,7 @@ from ladiff_tpu.diffusion.schedulers import DiffusionSchedule, make_schedule
 from ladiff_tpu.losses.mld import LossWeights, diffusion_loss, vae_loss
 from ladiff_tpu.models.denoiser import LADenoiser
 from ladiff_tpu.models.vae import LAVae
+from ladiff_tpu.transforms.rotation2xyz import Rotation2xyz
 from ladiff_tpu.utils.masks import latent_valid_mask, lengths_to_mask
 
 __all__ = ["LADiffSystem"]
@@ -87,6 +88,9 @@ class LADiffSystem:
     # feature normalization stats (set by the datamodule)
     mean: Optional[jnp.ndarray] = None
     std: Optional[jnp.ndarray] = None
+    # SMPL forward pass for the action path (reference ladiff.py:151-173
+    # builds Rotation2xyz from cfg.DATASET.SMPL_PATH when condition='action')
+    rot2xyz: Optional[Rotation2xyz] = None
     dtype: Any = jnp.float32
 
     # ------------------------------------------------------------------
@@ -139,6 +143,9 @@ class LADiffSystem:
             weights=LossWeights.from_cfg(cfg),
             mean=None if mean is None else jnp.asarray(mean),
             std=None if std is None else jnp.asarray(std),
+            rot2xyz=(Rotation2xyz.from_path(
+                str(cfg.DATASET.get("SMPL_PATH", "./deps/smpl_models/smpl")))
+                if str(m.get("condition", "text")) == "action" else None),
             dtype=dtype,
         )
 
@@ -220,6 +227,23 @@ class LADiffSystem:
         feats = feats * self.std + self.mean
         return (feats - mean_eval) / std_eval
 
+    def feats2joints_action(self, feats: jax.Array,
+                            mask: jax.Array) -> jax.Array:
+        """Action-path vertices (reference feats2joints lambda,
+        ladiff.py:164-173: jointstype='vertices', vertstrans=False) —
+        consumed by the a2m VAE ``recons_joints`` loss (:836-837) and
+        MRMetrics on the action validation path."""
+        return self.rot2xyz(feats, mask, jointstype="vertices",
+                            vertstrans=False)
+
+    def feats2joints_action_eval(self, feats: jax.Array,
+                                 mask: jax.Array) -> jax.Array:
+        """Action-path 24x3 SMPL joints (reference feats2joints_eval lambda,
+        ladiff.py:152-162: jointstype='smpl', vertstrans=True) — what
+        HUMANACTMetrics' 72-input GRU classifier consumes (:1470-1474,
+        gru.py:32-36)."""
+        return self.rot2xyz(feats, mask, jointstype="smpl", vertstrans=True)
+
     # -- stage 1: VAE ---------------------------------------------------
     def vae_forward(self, vae_params, batch: Dict[str, jax.Array],
                     rng: jax.Array, train: bool = True):
@@ -244,11 +268,17 @@ class LADiffSystem:
             rngs={"dropout": jax.random.fold_in(drop_rng, 1)} if train else {},
             method=self.vae.decode)
         if self.condition == "action":
-            # a2m features are rot6d(+trans), not RIC; the reference's joint
-            # loss there goes through SMPL rot2xyz (ladiff.py:164,834-837),
-            # which needs SMPL assets — recon/KL carry the training signal
-            # (joint term drops; vae_loss treats None as zero)
-            joints_rst = joints_ref = None
+            # a2m features are rot6d(+trans): the joint term goes through the
+            # SMPL forward pass to VERTICES, exactly like the reference
+            # (ladiff.py:164-173 feats2joints -> rot2xyz jointstype='vertices',
+            # applied unconditionally at :834-837 with LAMBDA_JOINT from
+            # base.yaml:65); smooth_l1 means over the full tensor with masked
+            # frames zeroed on both sides, matching the reference reduction
+            mask = batch.get("mask")
+            if mask is None:
+                mask = lengths_to_mask(lengths, feats_ref.shape[1])
+            joints_rst = self.feats2joints_action(feats_rst, mask)
+            joints_ref = self.feats2joints_action(feats_ref, mask)
         else:
             joints_rst = self.feats2joints(feats_rst)
             joints_ref = self.feats2joints(feats_ref)

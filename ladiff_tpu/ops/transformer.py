@@ -79,9 +79,11 @@ def decode_block_default(dtype) -> int:
     bf16: bb8 is the measured v5e winner (PERF.md sweep).  Wider dtypes
     double every VMEM buffer — bb8 at f32 needs 26.3M against the 16M
     scope (the test.py eval path runs f32; regression caught by the
-    end-to-end drive) — so they halve to bb4 (~13M, fits).
+    end-to-end drive).  Scale by itemsize so the same VMEM argument holds
+    at every width (f64 would double again past the scope were x64 ever
+    enabled): bf16->8, f32->4, f64->2, floored at 1.
     """
-    return 8 if jnp.dtype(dtype) == jnp.bfloat16 else 4
+    return max(1, 16 // jnp.dtype(dtype).itemsize)
 
 
 def _train_fused_layer(mod, x, key_valid, drop_rate):

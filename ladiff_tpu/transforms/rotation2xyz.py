@@ -1,0 +1,164 @@
+"""rot6d(+translation) motion features -> SMPL joints / vertices (jittable).
+
+Rebuild of the reference ``Rotation2xyz``
+(/root/reference/src/ladiff/transforms/rotation2xyz.py:10-114) on top of the
+compact JAX LBS (ladiff_tpu/smpl/body_model.py) instead of the vendored
+smplx stack.  The action-conditioned model path consumes it two ways
+(reference models/modeltype/ladiff.py:151-173):
+
+  * ``feats2joints_eval``: jointstype='smpl', vertstrans=True -> 24x3 SMPL
+    joints for the HumanAct12 GRU classifier (gru.py:32-36, input_size=72),
+  * ``feats2joints``: jointstype='vertices', vertstrans=False -> SMPL
+    vertices for the a2m VAE's ``recons_joints`` loss (ladiff.py:836-837).
+
+Reference semantics replicated exactly (rotation2xyz.py:44-109):
+
+  * feature layout [B, T, 6*(J+1)]: ``view(B, T, 6, J+1)`` is CHANNEL-major
+    (feature ``c*(J+1) + v`` belongs to channel ``c`` of node ``v``); the
+    last node's first three channels carry the per-frame translation
+    (``x[:, -1, :3]``), the first J nodes are rot6d rotations,
+  * ``glob=True``: node 0 is the global orient, nodes 1..J-1 the body pose,
+  * betas are zeros (``betas[:, 1] = beta`` with the default beta=0),
+  * masked frames are zeroed (rotation2xyz.py:94) BEFORE root-centering,
+  * jointstype != 'vertices': per-frame root-centering at joint 0
+    (JOINTSTYPE_ROOT['smpl'] = 0, transforms/smpl.py:139-144),
+  * ``vertstrans``: translation re-centered at frame 0, then added to every
+    frame — including masked ones (rotation2xyz.py:104-109).
+
+Static-shape recast: the reference converts only ``x_rotations[mask]``
+frames; here all B*T frames run through the LBS with identity rotations
+substituted on masked frames (zero rot6d would NaN the Gram-Schmidt), then
+the mask zeroes the outputs — identical results, one compiled shape.
+
+Layout note: the reference returns [B, J, 3, T]; this module returns
+batch-first [B, T, J, 3] (repo convention).  Flattening the trailing two
+dims gives the same ``j*3 + coord`` feature order the reference GRU
+classifier sees after its ``reshape(bs, njoints*nfeats, T).permute(2,0,1)``
+(humanact12_gru.py:28-31).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ladiff_tpu.smpl.body_model import SMPLModel
+
+__all__ = ["Rotation2xyz", "rotation_6d_to_matrix_jnp"]
+
+# rot6d of the identity rotation: first two rows of eye(3)
+_IDENTITY_6D = jnp.asarray([1.0, 0.0, 0.0, 0.0, 1.0, 0.0])
+
+
+def rotation_6d_to_matrix_jnp(d6: jax.Array) -> jax.Array:
+    """(..., 6) -> (..., 3, 3) via Gram-Schmidt (Zhou et al.), jnp twin of
+    transforms/geometry.py:87-95 / reference utils/rotation_conversions.py."""
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = a1 / jnp.linalg.norm(a1, axis=-1, keepdims=True)
+    a2 = a2 - jnp.sum(b1 * a2, -1, keepdims=True) * b1
+    b2 = a2 / jnp.linalg.norm(a2, axis=-1, keepdims=True)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
+
+
+@dataclasses.dataclass
+class Rotation2xyz:
+    """Callable (feats, mask) -> joints/vertices over a fixed SMPL model.
+
+    ``frame_chunk`` bounds LBS memory on the vertices path: the skinning
+    transform tensor is [frames, V, 4, 4], which at the real model's
+    V=6890 and a training batch's B*T frames would not fit VMEM/HBM
+    budgets; chunked ``lax.map`` keeps it at [chunk, V, 4, 4].
+    0 = no chunking (right for the synthetic fallback's small V).
+    """
+
+    smpl: SMPLModel
+    frame_chunk: int = 0
+
+    @classmethod
+    def from_path(cls, smpl_path: str,
+                  frame_chunk: Optional[int] = None) -> "Rotation2xyz":
+        """Load ``<smpl_path>/SMPL_NEUTRAL.pkl`` (reference
+        transforms/smpl.py:216-217); synthetic fallback keeps the path
+        testable without the MPG-licensed asset, like every other dep."""
+        model = SMPLModel.load(os.path.join(smpl_path, "SMPL_NEUTRAL.pkl"))
+        synthetic = model is None
+        if synthetic:
+            model = SMPLModel.synthetic()
+        if frame_chunk is None:
+            # real 6890-vertex model: bound the skinning tensor to
+            # [64, V, 4, 4] ~= 28 MB f32; tiny synthetic model: no chunking
+            frame_chunk = 0 if synthetic else 64
+        return cls(smpl=model, frame_chunk=frame_chunk)
+
+    @property
+    def is_synthetic(self) -> bool:
+        return int(self.smpl.v_template.shape[0]) < 1000
+
+    # ------------------------------------------------------------------
+    def __call__(self, feats: jax.Array, mask: Optional[jax.Array],
+                 jointstype: str = "smpl", vertstrans: bool = True,
+                 translation: bool = True, glob: bool = True,
+                 pose_rep: str = "rot6d") -> jax.Array:
+        """[B, T, 6*(J+1)] features (+ [B, T] bool mask) -> [B, T, Jout, 3].
+
+        Only the reference surface the shipped model path consumes is
+        implemented: pose_rep='rot6d', glob=True, translation=True,
+        jointstype in {'smpl', 'vertices'}.  The remaining jointstypes
+        (a2m/a2mpl/vibe) need the VIBE extra-joint regressor asset and have
+        no consumer in the shipped configs (reference rotation2xyz.py:7 lists
+        them; ladiff.py only ever passes 'smpl' and 'vertices').
+        """
+        if pose_rep != "rot6d":
+            raise NotImplementedError("No geometry for this one.")
+        if not glob or not translation:
+            raise NotImplementedError(
+                "the shipped model path always runs glob=True, "
+                "translation=True (reference ladiff.py:151-173)")
+        if jointstype not in ("smpl", "vertices"):
+            raise NotImplementedError("This jointstype is not implemented.")
+
+        B, T, F = feats.shape
+        n_nodes = F // 6
+        J = n_nodes - 1  # last node carries translation
+        if mask is None:
+            mask = jnp.ones((B, T), bool)
+
+        # channel-major unpack (reference view(B,T,6,25).permute(0,3,2,1))
+        x = feats.reshape(B, T, 6, n_nodes)
+        trans = x[:, :, :3, J]                       # [B, T, 3]
+        rot6d = x[:, :, :, :J].transpose(0, 1, 3, 2)  # [B, T, J, 6]
+
+        # identity-substitute masked frames so Gram-Schmidt stays finite
+        safe = jnp.where(mask[:, :, None, None], rot6d,
+                         _IDENTITY_6D.astype(rot6d.dtype))
+        rotmats = rotation_6d_to_matrix_jnp(safe)     # [B, T, J, 3, 3]
+
+        flat = rotmats.reshape(B * T, J, 3, 3)
+        betas = jnp.zeros((10,), flat.dtype)
+        want_verts = jointstype == "vertices"
+
+        def lbs(rots):
+            out = self.smpl.forward_matrices(rots, betas,
+                                             return_vertices=want_verts)
+            return out[1] if want_verts else out
+
+        if self.frame_chunk and (B * T) % self.frame_chunk == 0:
+            chunked = flat.reshape(-1, self.frame_chunk, J, 3, 3)
+            out = jax.lax.map(lbs, chunked)
+            out = out.reshape(B * T, *out.shape[2:])
+        else:
+            out = lbs(flat)
+        x_xyz = out.reshape(B, T, out.shape[1], 3)
+
+        # zero masked frames (reference :94), THEN root-center / translate
+        x_xyz = jnp.where(mask[:, :, None, None], x_xyz, 0.0)
+        if jointstype != "vertices":
+            x_xyz = x_xyz - x_xyz[:, :, :1, :]        # per-frame root at 0
+        if vertstrans:
+            trans = trans - trans[:, :1, :]           # frame-0 re-centering
+            x_xyz = x_xyz + trans[:, :, None, :]
+        return x_xyz

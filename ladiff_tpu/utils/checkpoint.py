@@ -190,3 +190,50 @@ def load_reference_denoiser_checkpoint(path: str, num_layers: int = 9,
         "encoder": _skip_blocks(sd, "encoder.", layer_fn, num_layers),
     }
     return P
+
+
+def load_reference_actor_vae_checkpoint(path: str, num_layers: int = 9):
+    """Reference ActorVae ckpt (``vae.*`` keys; architectures/actor_vae.py:
+    11-258) -> our ActorVae param tree (models/actor_vae.py).
+
+    Layer-name mapping: torch ``nn.TransformerEncoder/DecoderLayer`` children
+    (self_attn / multihead_attn / linear1-2 / norm1-3) line up with our
+    post-norm layers; the sinusoidal ``sequence_pos_encoding.pe`` buffers are
+    recomputed on the fly and deliberately dropped (the reference's own
+    restore does the same for the denoiser PE, train.py:205-209)."""
+    sd = _torch_load(path)
+    sd = {k[len("vae."):]: v for k, v in sd.items()
+          if k.startswith("vae.")} or sd
+    P = {
+        "skel_embedding": _dense(sd, "encoder.skel_embedding"),
+        "mu_token": np.asarray(sd["encoder.mu_token"]),
+        "logvar_token": np.asarray(sd["encoder.logvar_token"]),
+        "final_layer": _dense(sd, "decoder.final_layer"),
+    }
+    for i in range(num_layers):
+        P[f"enc_{i}"] = _encoder_layer(
+            sd, f"encoder.seqTransEncoder.layers.{i}.")
+        P[f"dec_{i}"] = _decoder_layer(
+            sd, f"decoder.seqTransDecoder.layers.{i}.")
+    return P
+
+
+def load_reference_action_denoiser_checkpoint(path: str, num_layers: int = 9,
+                                              md_trans: bool = True):
+    """Reference action-conditioned denoiser ckpt -> LADenoiser params:
+    like load_reference_denoiser_checkpoint, but condition='action' swaps
+    the ReLU+Linear text projection for the EmbedAction table
+    (ladiff_denoiser.py:74-82, 298-346)."""
+    sd = _torch_load(path)
+    sd = {k[len("denoiser."):]: v for k, v in sd.items()
+          if k.startswith("denoiser.")} or sd
+    layer_fn = _md_layer if md_trans else _encoder_layer
+    return {
+        "time_embedding": {
+            "linear_1": _dense(sd, "time_embedding.linear_1"),
+            "linear_2": _dense(sd, "time_embedding.linear_2")},
+        "emb_proj": {"action_embedding":
+                     np.asarray(sd["emb_proj.action_embedding"])},
+        "query_pos": {"pe": np.asarray(sd["query_pos.pe"]).squeeze(1)},
+        "encoder": _skip_blocks(sd, "encoder.", layer_fn, num_layers),
+    }

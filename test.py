@@ -279,7 +279,11 @@ def _run_a2m_test(cfg, logger, dataset, params=None):
                 jnp.zeros((1, 60, 24, 6)))["params"]
         kind = "stgcn"
     else:
-        clf = MotionDiscriminator(input_size=nfeats, hidden_size=128,
+        # the released HumanAct12 classifier consumes 24x3 SMPL joints from
+        # Rotation2xyz, NOT raw features — input_size is pinned to 72 like
+        # the reference (metrics/gru.py:32-36; joints_eval from
+        # ladiff.py:1311-1314)
+        clf = MotionDiscriminator(input_size=72, hidden_size=128,
                                   hidden_layer=2, output_size=num_labels)
         clf_params = None
         gru_path = str(cfg.model.get("humanact12_rec_path", "") or
@@ -291,7 +295,7 @@ def _run_a2m_test(cfg, logger, dataset, params=None):
             logger.warning(f"GRU classifier ckpt not found at {gru_path}; "
                            "using random init (self-consistent only)")
             clf_params = clf.init(jax.random.PRNGKey(0),
-                                  jnp.zeros((1, 60, nfeats)),
+                                  jnp.zeros((1, 60, 72)),
                                   jnp.array([60]))["params"]
         kind = "gru"
 

@@ -10,6 +10,8 @@ from ladiff_tpu.evaluation.a2m_eval import run_a2m_eval
 from ladiff_tpu.metrics.a2m import ActionClassifierMetrics
 from ladiff_tpu.models.classifiers import MotionDiscriminator
 from ladiff_tpu.models.ladiff import LADiffSystem
+from ladiff_tpu.smpl.body_model import SMPLModel
+from ladiff_tpu.transforms.rotation2xyz import Rotation2xyz
 
 NFEATS = 150  # 25 joints x rot6d
 
@@ -23,14 +25,17 @@ def test_a2m_eval_pipeline(tmp_path):
         ff_size=64, num_layers=3, num_heads=4, max_it=0, lad=False,
         condition="action", nclasses=12, vae_type="actor",
         num_inference_timesteps=2, md_trans=False,
-        mean=np.zeros(NFEATS, np.float32), std=np.ones(NFEATS, np.float32))
+        mean=np.zeros(NFEATS, np.float32), std=np.ones(NFEATS, np.float32),
+        rot2xyz=Rotation2xyz(SMPLModel.synthetic()))
     params = system.init_params(jax.random.PRNGKey(0))
     vae = system.vae
 
-    clf = MotionDiscriminator(input_size=NFEATS, hidden_size=16,
+    # HumanAct12 protocol: the GRU classifies 24x3 SMPL joints (input 72),
+    # never raw features (reference gru.py:32-36, ladiff.py:1311-1314)
+    clf = MotionDiscriminator(input_size=72, hidden_size=16,
                               hidden_layer=2, output_size=12)
     clf_params = clf.init(jax.random.PRNGKey(1),
-                          jnp.zeros((1, 60, NFEATS)), jnp.array([60]))["params"]
+                          jnp.zeros((1, 60, 72)), jnp.array([60]))["params"]
 
     metrics = ActionClassifierMetrics(num_labels=12, diversity_times=8,
                                       multimodality_times=2)

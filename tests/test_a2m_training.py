@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy harness: excluded from the fast lane
+
 from ladiff_tpu.config import assemble_config
 from ladiff_tpu.data.datamodule import get_datasets
 

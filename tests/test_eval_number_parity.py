@@ -31,11 +31,12 @@ Alignment choices (all are *test-harness* choices, not behavior deltas):
     reference's torch.randn / dist.rsample draws are RNG-backend choices,
     not math).
 
-Known bounded numeric delta (documented in evaluation/t2m_eval.py): our
-static MAX_LEN padding vs the reference's batch-max padding makes the LAST
-movement-conv frame of each batch's longest sample read conv zero-padding
-(reference) where ours reads renormed static padding.  Only batch-max rows
-are affected; tolerances below absorb it (measured ~1e-3 embedding-level).
+Round 3 closed the last known numeric delta: ``MovementConvEncoder`` now
+takes ``valid_length = max(lengths)`` and zeroes the input rows beyond the
+batch max plus the post-activation rows beyond the intermediate valid
+length, exactly reproducing the zero padding the reference's batch-max-
+cropped convs see at the boundary — so every row, including each batch's
+longest sample, must now agree at the f32 noise floor.
 """
 import importlib.util
 import sys
@@ -44,6 +45,8 @@ import zlib
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy harness: excluded from the fast lane
 
 torch = pytest.importorskip("torch")
 
@@ -462,43 +465,26 @@ METRIC_KEYS = ["Matching_score", "gt_Matching_score", "FID", "Diversity",
                "gt_R_precision_top_2", "gt_R_precision_top_3"]
 
 
-def _boundary_rows(batches):
-    """Global row indices of batch-max-length samples when that max is
-    below the static MAX_LEN — the only rows the static-padding delta
-    (module docstring) may touch."""
-    rows, off = [], 0
-    for b in batches:
-        lens = np.asarray(b["length"])
-        if lens.max() < MAX_LEN:
-            rows.extend(off + np.where(lens == lens.max())[0])
-        off += len(lens)
-    return np.asarray(rows, dtype=int)
-
-
 def _compare(env, ours, ref_nums, metrics_obj, ref_embs):
     ref_texts, ref_gens, ref_gts = ref_embs
-    # embedding-level agreement first (diagnosable failure granularity)
+    # embedding-level agreement first (diagnosable failure granularity).
+    # No boundary-row carve-out: the MovementConvEncoder valid_length
+    # masking reproduces the reference's batch-max conv padding exactly
+    # (module docstring), so EVERY row holds at the f32 noise floor.
     np.testing.assert_allclose(
         np.concatenate(metrics_obj.text_embeddings),
         np.concatenate(ref_texts), atol=5e-4,
         err_msg="text evaluator embeddings diverge")
-    boundary = _boundary_rows(env["batches"])
     for ours_e, ref_e, what in (
             (metrics_obj.gtmotion_embeddings, ref_gts, "gt"),
             (metrics_obj.recmotion_embeddings, ref_gens, "generated")):
         diff = np.abs(np.concatenate(ours_e) - np.concatenate(ref_e))
-        row_max = diff.max(axis=1)
-        bulk = np.delete(row_max, boundary)
-        assert bulk.max() < 1e-3, (
-            f"{what} motion embeddings diverge beyond the boundary rows "
-            f"(max {bulk.max()})")
-        assert row_max.max() < 0.1, (
-            f"{what} boundary-row delta larger than expected "
-            f"(max {row_max.max()})")
+        assert diff.max() < 1e-3, (
+            f"{what} motion embeddings diverge (max {diff.max()})")
     for k in METRIC_KEYS:
         assert k in ours, f"{k} missing from run_test summary"
         np.testing.assert_allclose(
-            ours[k], ref_nums[k], rtol=2e-2, atol=2e-3,
+            ours[k], ref_nums[k], rtol=2e-3, atol=5e-4,
             err_msg=f"metric {k}: ours={ours[k]} reference={ref_nums[k]}")
 
 

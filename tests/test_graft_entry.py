@@ -8,6 +8,9 @@ end-to-end on the pytest 8-device CPU mesh, and the self-provision helper
 must be a no-op when an adequate mesh is already live.
 """
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy harness: excluded from the fast lane
 from pathlib import Path
 
 import jax

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy harness: excluded from the fast lane
+
 from ladiff_tpu.config import assemble_config
 from ladiff_tpu.data.datamodule import T2MDataModule
 from ladiff_tpu.data.synthetic import generate_synthetic_dataset

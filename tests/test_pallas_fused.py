@@ -738,12 +738,13 @@ def test_train_whole_layer_route_rate0_matches_deterministic(monkeypatch):
 
 
 def test_decode_block_default_fits_vmem_per_dtype():
-    """The decode kernel's default sample block must shrink for dtypes
-    wider than bf16: bb8 at f32 needs 26.3M scoped VMEM against the 16M
-    budget (the benchmark-eval path runs f32 — a bb8-for-everything
-    default broke test.py on hardware)."""
+    """The decode kernel's default sample block must shrink as the dtype
+    widens (VMEM buffers scale with itemsize): bb8 at f32 needs 26.3M
+    scoped VMEM against the 16M budget (the benchmark-eval path runs f32 —
+    a bb8-for-everything default broke test.py on hardware), and f64 would
+    double again, so the block halves once more."""
     from ladiff_tpu.ops.transformer import decode_block_default
 
     assert decode_block_default(jnp.bfloat16) == 8
     assert decode_block_default(jnp.float32) == 4
-    assert decode_block_default(jnp.float64) == 4
+    assert decode_block_default(jnp.float64) == 2

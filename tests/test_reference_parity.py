@@ -8,6 +8,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy harness: excluded from the fast lane
+
 torch = pytest.importorskip("torch")
 
 # the reference imports optional deps (clip) at module import time

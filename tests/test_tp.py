@@ -2,6 +2,9 @@
 the same math as the DP(8,1) step — XLA's SPMD partitioning with the
 parallel/tp.py Megatron-style specs is a layout change, not a model change."""
 import jax
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy harness: excluded from the fast lane
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P

@@ -155,3 +155,71 @@ def test_vae_grads_identical_to_single_device():
     # different reduction orders across shards: allow float accumulation noise
     np.testing.assert_allclose(np.asarray(flat1), np.asarray(flat2),
                                atol=5e-4)
+
+
+def test_lambda_prior_nonzero_rejected():
+    """LOSS.LAMBDA_PRIOR != 0 must fail loudly at config-parse time: the
+    reference's own nonzero path crashes on the first step (losses/mld.py:
+    119-123 reads rs_set['dist_m1'], produced nowhere — KeyError), and
+    every shipped config pins 0.0.  Silently training a different
+    objective would be the worst failure mode for a drop-in framework."""
+    import pytest
+    from ladiff_tpu.config import ConfigNode
+
+    cfg = ConfigNode({"LOSS": {"LAMBDA_PRIOR": 1e-5}})
+    with pytest.raises(ValueError, match="LAMBDA_PRIOR"):
+        LossWeights.from_cfg(cfg)
+    # zero stays accepted (all released configs)
+    ok = LossWeights.from_cfg(ConfigNode({"LOSS": {"LAMBDA_PRIOR": 0.0}}))
+    assert ok.lambda_prior == 0.0
+
+
+def test_host_prefetcher_order_close_and_errors():
+    """Double-buffered host pipeline: preserves order, overlaps on a worker
+    thread, unblocks cleanly on early exit, and surfaces prepare errors."""
+    import threading
+    import time as _time
+
+    from ladiff_tpu.training.loop import HostPrefetcher
+
+    main_tid = threading.get_ident()
+    seen_tids = []
+
+    def prepare(x):
+        seen_tids.append(threading.get_ident())
+        return x * 10
+
+    pf = HostPrefetcher(iter(range(20)), prepare, depth=2)
+    out = list(pf)
+    assert out == [x * 10 for x in range(20)]
+    assert all(t != main_tid for t in seen_tids)
+    pf.close()
+
+    # early exit: the worker must not stay blocked on a full queue
+    def slow_iter():
+        for i in range(1000):
+            yield i
+
+    pf = HostPrefetcher(slow_iter(), lambda x: x, depth=1)
+    it = iter(pf)
+    assert next(it) == 0
+    pf.close()
+    assert not pf._thread.is_alive()
+
+    # errors in prepare propagate to the consumer
+    def bad(x):
+        if x == 3:
+            raise RuntimeError("boom")
+        return x
+
+    pf = HostPrefetcher(iter(range(10)), bad, depth=2)
+    got = []
+    try:
+        for v in pf:
+            got.append(v)
+            _time.sleep(0.01)
+        raised = False
+    except RuntimeError:
+        raised = True
+    pf.close()
+    assert raised and got == [0, 1, 2]

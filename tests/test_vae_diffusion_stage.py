@@ -1,5 +1,8 @@
 """Joint vae_diffusion stage: loss composition + sharded training step."""
 import jax
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy harness: excluded from the fast lane
 import jax.numpy as jnp
 import numpy as np
 
