@@ -15,7 +15,8 @@ from typing import Dict, List
 
 import numpy as np
 
-__all__ = ["TemosMetrics", "rifke_canonicalize"]
+__all__ = ["TemosMetrics", "TemosMetricsBest", "TemosMetricsWorst",
+           "rifke_canonicalize"]
 
 _HUMANML3D_JOINTS = [
     "root", "RH", "LH", "BP", "RK", "LK", "BT", "RMrot", "LMrot", "BLN",
@@ -123,30 +124,19 @@ class TemosMetrics:
         self.AVE_joints = np.zeros(self.njoints)
 
     def update(self, joints_rst, joints_ref, lengths):
-        joints_rst = np.asarray(joints_rst)
-        joints_ref = np.asarray(joints_ref)
         self.count += int(np.sum(lengths))
         self.count_seq += len(lengths)
-        for i, L in enumerate(lengths):
-            L = int(L)
-            jt, pt, rt, tt = rifke_canonicalize(joints_rst[i, :L],
-                                                self.jointstype)
-            jr, pr, rr, tr = rifke_canonicalize(joints_ref[i, :L],
-                                                self.jointstype)
-            f = self.factor
-            jt, pt, rt, tt = jt / f, pt / f, rt / f, tt / f
-            jr, pr, rr, tr = jr / f, pr / f, rr / f, tr / f
-
-            self.APE_root += np.linalg.norm(rt - rr, axis=1).sum()
-            self.APE_traj += np.linalg.norm(tt - tr, axis=1).sum()
-            self.APE_pose += np.linalg.norm(pt - pr, axis=2).sum(0)
-            self.APE_joints += np.linalg.norm(jt - jr, axis=2).sum(0)
-
-            var = lambda x: ((x - x.mean(0)) ** 2).sum(0) / (L - 1)
-            self.AVE_root += np.linalg.norm(var(rt) - var(rr), axis=0)
-            self.AVE_traj += np.linalg.norm(var(tt) - var(tr), axis=0)
-            self.AVE_pose += np.linalg.norm(var(pt) - var(pr), axis=1)
-            self.AVE_joints += np.linalg.norm(var(jt) - var(jr), axis=1)
+        for (APE_root, APE_pose, APE_traj, APE_joints,
+             AVE_root, AVE_pose, AVE_traj, AVE_joints) in \
+                self._sample_metrics(joints_rst, joints_ref, lengths):
+            self.APE_root += APE_root
+            self.APE_traj += APE_traj
+            self.APE_pose += APE_pose
+            self.APE_joints += APE_joints
+            self.AVE_root += AVE_root
+            self.AVE_traj += AVE_traj
+            self.AVE_pose += AVE_pose
+            self.AVE_joints += AVE_joints
 
     def compute(self) -> Dict[str, float]:
         c, cs = self.count, self.count_seq
@@ -160,3 +150,76 @@ class TemosMetrics:
             "AVE_mean_pose": self.AVE_pose.mean() / cs,
             "AVE_mean_joints": self.AVE_joints.mean() / cs,
         }
+
+    def _sample_metrics(self, joints_rst, joints_ref, lengths):
+        """Per-sample (APE_root, APE_pose, APE_traj, APE_joints, AVE_*)
+        tuples for one batch — the inner body of the reference update loop
+        (compute_best.py:23-48), factored so the best/worst variants can
+        select among trials before accumulating."""
+        out = []
+        for i, L in enumerate(lengths):
+            L = int(L)
+            jt, pt, rt, tt = rifke_canonicalize(np.asarray(joints_rst)[i, :L],
+                                                self.jointstype)
+            jr, pr, rr, tr = rifke_canonicalize(np.asarray(joints_ref)[i, :L],
+                                                self.jointstype)
+            f = self.factor
+            jt, pt, rt, tt = jt / f, pt / f, rt / f, tt / f
+            jr, pr, rr, tr = jr / f, pr / f, rr / f, tr / f
+            var = lambda x: ((x - x.mean(0)) ** 2).sum(0) / (L - 1)
+            out.append((
+                np.linalg.norm(rt - rr, axis=1).sum(),
+                np.linalg.norm(pt - pr, axis=2).sum(0),
+                np.linalg.norm(tt - tr, axis=1).sum(),
+                np.linalg.norm(jt - jr, axis=2).sum(0),
+                np.linalg.norm(var(rt) - var(rr), axis=0),
+                np.linalg.norm(var(pt) - var(pr), axis=1),
+                np.linalg.norm(var(tt) - var(tr), axis=0),
+                np.linalg.norm(var(jt) - var(jr), axis=1),
+            ))
+        return out
+
+
+class _TemosMetricsSelect(TemosMetrics):
+    """Multi-trial APE/AVE: pick one trial per batch and accumulate it.
+
+    Rebuild of the reference ComputeMetricsBest / ComputeMetricsWorst
+    (/root/reference/src/ladiff/models/metrics/compute_best.py:12-60,
+    compute_worst.py:12-60; no runtime consumers in the shipped configs).
+    The reference's own "Quick hacks" block is replicated faithfully:
+    the trial is chosen by the FIRST sample's APE_root only, and only
+    that first sample's metric tuple is accumulated — while count /
+    count_seq still advance by the whole batch (compute_best.py:13-14,
+    51-60).  The resulting averages are therefore not per-sample means;
+    that is the reference's behavior, not a rebuild bug.
+    """
+
+    _select = staticmethod(np.argmin)
+
+    def update(self, joints_rst_trials, joints_ref_trials, lengths_trials):
+        self.count += int(np.sum(lengths_trials[0]))
+        self.count_seq += len(lengths_trials[0])
+        per_trial = [self._sample_metrics(jr, jf, ls)
+                     for jr, jf, ls in zip(joints_rst_trials,
+                                           joints_ref_trials, lengths_trials)]
+        chosen = per_trial[int(self._select([t[0][0] for t in per_trial]))][0]
+        (APE_root, APE_pose, APE_traj, APE_joints,
+         AVE_root, AVE_pose, AVE_traj, AVE_joints) = chosen
+        self.APE_root += APE_root
+        self.APE_pose += APE_pose
+        self.APE_traj += APE_traj
+        self.APE_joints += APE_joints
+        self.AVE_root += AVE_root
+        self.AVE_pose += AVE_pose
+        self.AVE_traj += AVE_traj
+        self.AVE_joints += AVE_joints
+
+
+class TemosMetricsBest(_TemosMetricsSelect):
+    """Best-of-N trials by first-sample APE_root (ComputeMetricsBest)."""
+    _select = staticmethod(np.argmin)
+
+
+class TemosMetricsWorst(_TemosMetricsSelect):
+    """Worst-of-N trials by first-sample APE_root (ComputeMetricsWorst)."""
+    _select = staticmethod(np.argmax)

@@ -7,7 +7,8 @@ import pytest
 
 from ladiff_tpu.metrics.mm import MMMetrics
 from ladiff_tpu.metrics.mr import MRMetrics
-from ladiff_tpu.metrics.temos import TemosMetrics
+from ladiff_tpu.metrics.temos import (TemosMetrics, TemosMetricsBest,
+                                      TemosMetricsWorst)
 from ladiff_tpu.metrics.tm2t import TM2TMetrics
 from ladiff_tpu.metrics import utils as U
 
@@ -118,6 +119,33 @@ def test_temos_ape_zero_for_identical():
     m2.update(joints + 0.05 * rng.randn(*joints.shape), joints, [40, 30])
     out2 = m2.compute()
     assert out2["APE_root"] > 0
+
+
+def test_temos_best_worst_trial_selection():
+    """Best/worst variants replicate the reference's "Quick hacks" exactly:
+    trial chosen by the FIRST sample's APE_root, only that first sample's
+    tuple accumulated, counts advanced by the whole batch
+    (compute_best.py:13-14,51-60)."""
+    rng = np.random.RandomState(9)
+    joints = np.cumsum(rng.randn(2, 40, 22, 3) * 0.01, axis=1)
+    near = joints + 0.01 * rng.randn(*joints.shape)
+    far = joints + 0.2 * rng.randn(*joints.shape)
+    lengths = [40, 30]
+
+    best, worst = TemosMetricsBest(), TemosMetricsWorst()
+    for m in (best, worst):
+        m.update([near, far], [joints, joints], [lengths, lengths])
+
+    # counts cover the whole first-trial batch
+    assert best.count == 70 and best.count_seq == 2
+    # best picked the near trial, worst the far one — and each accumulated
+    # exactly the chosen trial's first-sample tuple
+    near0 = TemosMetrics()._sample_metrics(near, joints, lengths)[0]
+    far0 = TemosMetrics()._sample_metrics(far, joints, lengths)[0]
+    np.testing.assert_allclose(best.APE_root, near0[0])
+    np.testing.assert_allclose(worst.APE_root, far0[0])
+    np.testing.assert_allclose(best.AVE_joints, near0[7])
+    assert best.compute()["APE_root"] < worst.compute()["APE_root"]
 
 
 def test_mpjpe_family_matches_reference():
