@@ -15,7 +15,9 @@ caching removes the text tower from the steady-state step entirely).
 """
 from __future__ import annotations
 
+import queue
 import signal
+import threading
 import time
 from os.path import join as pjoin
 from typing import Dict, Optional
@@ -32,8 +34,85 @@ from ladiff_tpu.training.trainer import (create_train_state,
                                          make_optimizer, make_vae_train_step)
 from ladiff_tpu.utils.checkpoint import CheckpointManager, latest_checkpoint
 
-__all__ = ["CaptionEmbedder", "PreemptionGuard", "run_training",
-           "build_system"]
+__all__ = ["CaptionEmbedder", "HostPrefetcher", "PreemptionGuard",
+           "run_training", "build_system"]
+
+
+class HostPrefetcher:
+    """Double-buffers the per-step host pipeline behind the device step.
+
+    The reference hides input latency behind Lightning's NUM_WORKERS=8
+    dataloader (/root/reference/src/configs/config_ladiff_humanml3d.yaml:34).
+    Here ONE background thread is enough: it runs ``prepare`` (collate ->
+    caption embedding -> host->device transfer) for batch N+1..N+depth
+    while the device executes step N, so the step function never waits on
+    host work in steady state.  JAX dispatch is thread-safe; the main
+    thread keeps ownership of the training rng, so results are bit-identical
+    with prefetching on or off.
+
+    Exceptions in the producer surface in the consumer (re-raised from
+    ``__next__``); ``close()`` stops the producer early (preemption /
+    max-steps break) without deadlocking on a full queue.
+    """
+
+    _DONE = object()
+
+    def __init__(self, iterator, prepare, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, int(depth)))
+        self._stop = threading.Event()
+        self._exc: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._run, args=(iterator, prepare), daemon=True)
+        self._thread.start()
+
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _run(self, iterator, prepare):
+        try:
+            for item in iterator:
+                if self._stop.is_set() or not self._put(prepare(item)):
+                    return
+        except BaseException as e:  # surfaced in __next__
+            self._exc = e
+        finally:
+            self._put(self._DONE)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        while True:
+            try:
+                item = self._q.get(timeout=0.1)
+                break
+            except queue.Empty:
+                if not self._thread.is_alive() and self._q.empty():
+                    # producer died without managing to enqueue the sentinel
+                    item = self._DONE
+                    break
+        if item is self._DONE:
+            self._thread.join()
+            if self._exc is not None:
+                raise self._exc
+            raise StopIteration
+        return item
+
+    def close(self):
+        """Stop the producer and release queue slots; idempotent."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
 
 
 class PreemptionGuard:
@@ -277,34 +356,52 @@ def run_training(cfg, dm: T2MDataModule, logger,
     from ladiff_tpu.utils.logger import MetricsLogger
     metrics_sink = MetricsLogger.from_cfg(cfg)
 
+    def prepare_batch(batch: dict):
+        """The per-step host pipeline: pad, assemble, embed captions,
+        transfer host->device with the data sharding.  Runs on the
+        prefetch thread (or inline when TRAIN.PREFETCH=0)."""
+        batch = _pad_batch(batch, n_dev)
+        device_batch = {
+            "motion": np.ascontiguousarray(batch["motion"]),
+            "length": np.ascontiguousarray(batch["length"]),
+        }
+        if stage in ("diffusion", "vae_diffusion"):
+            if is_action:
+                device_batch["action"] = np.ascontiguousarray(batch["action"])
+            else:
+                device_batch["text_emb"] = embedder(batch["text"])
+        return shard_batch(device_batch, mesh)
+
+    # TRAIN.PREFETCH: queue depth for the background host pipeline
+    # (default 2 = double buffering; 0 = synchronous, for debugging)
+    prefetch = int(cfg.TRAIN.get("PREFETCH", 2))
+
     with PreemptionGuard() as guard:
         for epoch in range(start_epoch, end_epoch):
             t0 = time.time()
             losses = []
             buckets = cfg.TRAIN.get("LENGTH_BUCKETS", None)
             buckets = tuple(buckets) if buckets else None
-            for i, batch in enumerate(dm.loader("train", batch_size=bs,
-                                                seed=epoch, buckets=buckets)):
-                if max_steps_per_epoch and i >= max_steps_per_epoch:
-                    break
-                if guard.triggered:
-                    break
-                batch = _pad_batch(batch, n_dev)
-                device_batch = {
-                    "motion": jnp.asarray(batch["motion"]),
-                    "length": jnp.asarray(batch["length"]),
-                }
-                if stage in ("diffusion", "vae_diffusion"):
-                    if is_action:
-                        device_batch["action"] = jnp.asarray(batch["action"])
-                    else:
-                        device_batch["text_emb"] = jnp.asarray(
-                            embedder(batch["text"]))
-                device_batch = shard_batch(device_batch, mesh)
-                rng, step_rng = jax.random.split(rng)
-                state, logs = step_fn(state, device_batch, step_rng)
-                losses.append(logs)
-                step_count += 1
+            loader = dm.loader("train", batch_size=bs, seed=epoch,
+                               buckets=buckets)
+            if prefetch > 0:
+                batches = HostPrefetcher(loader, prepare_batch,
+                                         depth=prefetch)
+            else:
+                batches = map(prepare_batch, loader)
+            try:
+                for i, device_batch in enumerate(batches):
+                    if max_steps_per_epoch and i >= max_steps_per_epoch:
+                        break
+                    if guard.triggered:
+                        break
+                    rng, step_rng = jax.random.split(rng)
+                    state, logs = step_fn(state, device_batch, step_rng)
+                    losses.append(logs)
+                    step_count += 1
+            finally:
+                if isinstance(batches, HostPrefetcher):
+                    batches.close()
             if guard.triggered:
                 # partial epoch: mark the ckpt with the CURRENT epoch index
                 # so resume reruns this epoch from its start
@@ -315,8 +412,11 @@ def run_training(cfg, dm: T2MDataModule, logger,
                 metrics_sink.close()
                 return ckpt_dir
             if losses:
-                mean_logs = {k: float(np.mean([jax.device_get(l[k])
-                                               for l in losses]))
+                # ONE batched fetch for the whole epoch's scalars instead of
+                # a device round trip per (step x key) — over the axon relay
+                # each device_get costs a full round trip
+                host_losses = jax.device_get(losses)
+                mean_logs = {k: float(np.mean([l[k] for l in host_losses]))
                              for k in losses[0]}
                 dt = time.time() - t0
                 logger.info(
