@@ -6,17 +6,20 @@ and the LN-FFN-LN tail — all with activations resident in VMEM, blocked
 over samples.  Decode was measured at its HBM roofline (~21 ms/batch-256)
 with ~5x compute headroom; fusing removes the per-op HBM round trips.
 
-Attention layout trick: per-head q/k — and, for self-attention, values
-too — live in 128-lane-aligned slots (head h occupies lanes
-[h*128, h*128+Dh) of a [*, H*128] tensor, upper lanes zero) — the
-per-head score AND value GEMMs then slice at legal 128-lane boundaries
-with a 128-wide head dimension instead of masked full-D GEMMs (half the
-MXU passes of the lane-mask trick in pallas_md_layer on both sides of
-the softmax).  The projection weights are remapped to this layout
-outside the kernel (zero-filled columns for wq/wk/wv, zero-filled ROWS
-for the out projection; exact same math).  Cross-attention keeps the
-lane-masked value path: its keys number <=MAX_IT, so slot values would
-cost more in the doubled out-proj than they save.
+Attention head layout (LADIFF_DECODE_LAYOUT):
+
+* ``packed`` (default, round 3) — all projections COMPACT; 128//Dh heads
+  share each 128-lane slot and are separated in-kernel by lane masks
+  (zeroed other-head q lanes before the score GEMM, lane-masked value
+  accumulation).  Score/value MXU passes match ``slots`` — the MXU
+  rounds K=64 contractions up to 128 either way — but the qkv and out
+  projections shed their slot-padding lanes (same-session +7.1% headline
+  A/B in PERF.md, jointly with the MD-layer packing).
+* ``slots`` — per-head q/k (and self-attention values) in 128-lane
+  slots: head h occupies lanes [h*128, h*128+Dh), weights remapped
+  outside the kernel (zero-filled columns for wq/wk/wv, zero-filled ROWS
+  for the out projection).  Cross-attention keeps the lane-masked value
+  path (keys number <=MAX_IT).  The round-2 layout, kept for A/B.
 
 Equivalent to TransformerDecoderLayer's post-norm XLA path (reference
 cross_attention.py:332-450); verified in tests/test_pallas_fused.py.
@@ -95,6 +98,34 @@ def _heads_attention_slots(q_pad, k_pad, v_pad, bias, H, Dh, dtype):
     return jnp.concatenate(outs, axis=1)
 
 
+def _heads_attention_packed(q, k, v, bias, H, Dh, dtype):
+    """Per-head attention in the COMPACT layout: q/k/v all [_, D] with
+    128//Dh heads per 128-lane slot.  Per head, the other heads' lanes of
+    q are zeroed before the score GEMM (their k lanes then contribute
+    nothing) and the value GEMM's mixed slot output is lane-masked back to
+    the head's own range.  Score/value MXU passes equal the slot layouts'
+    (K=128 per head either way) but the projections feeding this stay
+    compact — no slot-padding FLOPs.  Returns ctx [M, D] f32."""
+    M, D = q.shape
+    scale = 1.0 / (Dh ** 0.5)
+    S = 128 // Dh                        # heads per slot
+    G = D // 128                         # slots
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // Dh
+    outs = []
+    for g in range(G):
+        qs = q[:, g * 128:(g + 1) * 128]
+        ks = k[:, g * 128:(g + 1) * 128]
+        vs = v[:, g * 128:(g + 1) * 128]
+        acc = jnp.zeros((M, 128), jnp.float32)
+        for j in range(S):
+            hm = (lane == j).astype(dtype)
+            s = _dot_t(qs * hm, ks) * scale + bias
+            w = jax.nn.softmax(s, axis=-1).astype(dtype)
+            acc = acc + _dot(w, vs) * hm.astype(jnp.float32)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1)
+
+
 def _kernel(x_ref, kvalid_ref, mem_ref, mvalid_ref,
             sa_wqk_ref, sa_bqk_ref, sa_wv_ref, sa_bv_ref,
             sa_wout_ref, sa_bout_ref, ln1s_ref, ln1b_ref,
@@ -103,20 +134,27 @@ def _kernel(x_ref, kvalid_ref, mem_ref, mvalid_ref,
             w1_ref, b1_ref, w2_ref, b2_ref,
             ln2s_ref, ln2b_ref, ln3s_ref, ln3b_ref,
             out_ref, *, T: int, L: int, H: int, activation: str,
-            per_sample: bool):
+            per_sample: bool, layout: str):
     M = x_ref.shape[0]
     Bb = M // T
     ML = Bb * L
     D = sa_wv_ref.shape[0]
     Dh = D // H
+    HP = D if layout == "packed" else H * 128
     dtype = x_ref.dtype
+    # packed: q/k/v/out projections all compact, per-head separation by
+    # in-kernel lane masks; slots: one 128-lane slot per head
+    sa_att = (_heads_attention_packed if layout == "packed"
+              else _heads_attention_slots)
+    ca_att = (_heads_attention_packed if layout == "packed"
+              else _heads_attention)
 
     x = x_ref[...]
 
     # --- self-attention over the frame queries -------------------------
     qk = _dot(x, sa_wqk_ref[...]) + sa_bqk_ref[...].astype(jnp.float32)
-    q_pad = qk[:, :H * 128].astype(dtype)
-    k_pad = qk[:, H * 128:].astype(dtype)
+    q_pad = qk[:, :HP].astype(dtype)
+    k_pad = qk[:, HP:].astype(dtype)
     # values in head slots too ([M, H*128], wv pre-remapped outside)
     v = (_dot(x, sa_wv_ref[...])
          + sa_bv_ref[...].astype(jnp.float32)).astype(dtype)
@@ -131,14 +169,14 @@ def _kernel(x_ref, kvalid_ref, mem_ref, mvalid_ref,
         for s in range(Bb):
             sl = slice(s * T, (s + 1) * T)
             bias_s = jnp.where(kval[:, sl] > 0.5, 0.0, _NEG_INF)
-            parts.append(_heads_attention_slots(
+            parts.append(sa_att(
                 q_pad[sl], k_pad[sl], v[sl], bias_s, H, Dh, dtype))
         ctx = jnp.concatenate(parts, axis=0)
     else:
         rq = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) // T
         same = rq == rq.reshape(1, M)
         bias = jnp.where(same & (kval > 0.5), 0.0, _NEG_INF)
-        ctx = _heads_attention_slots(q_pad, k_pad, v, bias, H, Dh, dtype)
+        ctx = sa_att(q_pad, k_pad, v, bias, H, Dh, dtype)
     # out proj is pad_head_rows-remapped to the slot layout [H*128, D]
     attn = _dot(ctx.astype(dtype), sa_wout_ref[...]) \
         + sa_bout_ref[...].astype(jnp.float32)
@@ -161,7 +199,7 @@ def _kernel(x_ref, kvalid_ref, mem_ref, mvalid_ref,
             sl = slice(s * T, (s + 1) * T)
             ml = slice(s * L, (s + 1) * L)
             bias_s = jnp.where(mval[:, ml] > 0.5, 0.0, _NEG_INF)
-            parts.append(_heads_attention(
+            parts.append(ca_att(
                 q2[sl], k2[ml], v2[ml], bias_s, H, Dh, dtype))
         ctx2 = jnp.concatenate(parts, axis=0)
     else:
@@ -169,7 +207,7 @@ def _kernel(x_ref, kvalid_ref, mem_ref, mvalid_ref,
         rm = jax.lax.broadcasted_iota(jnp.int32, (ML, 1), 0) // L
         same2 = rq == rm.reshape(1, ML)
         bias2 = jnp.where(same2 & (mval > 0.5), 0.0, _NEG_INF)
-        ctx2 = _heads_attention(q2, k2, v2, bias2, H, Dh, dtype)
+        ctx2 = ca_att(q2, k2, v2, bias2, H, Dh, dtype)
     x2 = _dot(ctx2.astype(dtype), ca_wout_ref[...]) \
         + ca_bout_ref[...].astype(jnp.float32)
 
@@ -187,9 +225,11 @@ def _kernel(x_ref, kvalid_ref, mem_ref, mvalid_ref,
     out_ref[...] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "L", "H", "activation",
-                                             "block_samples",
-                                             "per_sample_attention"))
+def _env_layout() -> str:
+    import os
+    return os.environ.get("LADIFF_DECODE_LAYOUT", "packed")
+
+
 def fused_decoder_layer(
     x: jax.Array,        # [B*T, D] frame-query rows
     kvalid: jax.Array,   # [B*T, 1] f32 frame-key validity
@@ -198,6 +238,28 @@ def fused_decoder_layer(
     params: dict,        # TransformerDecoderLayer param tree
     *, T: int, L: int, H: int, activation: str = "gelu",
     block_samples: int = 2, per_sample_attention: bool = True,
+) -> jax.Array:
+    """Head layout comes from LADIFF_DECODE_LAYOUT ("packed" default,
+    "slots" = the round-2 layout), resolved OUTSIDE the jit so switching
+    it retraces instead of hitting a stale cache."""
+    D = x.shape[1]
+    layout = _env_layout()
+    if layout == "packed" and (128 % (D // H) != 0 or D % 128 != 0):
+        layout = "slots"
+    return _fused_decoder_layer(
+        x, kvalid, mem, mvalid, params, T=T, L=L, H=H,
+        activation=activation, block_samples=block_samples,
+        per_sample_attention=per_sample_attention, layout=layout)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "L", "H", "activation",
+                                             "block_samples",
+                                             "per_sample_attention",
+                                             "layout"))
+def _fused_decoder_layer(
+    x, kvalid, mem, mvalid, params,
+    *, T: int, L: int, H: int, activation: str,
+    block_samples: int, per_sample_attention: bool, layout: str,
 ) -> jax.Array:
     BT, D = x.shape
     B = BT // T
@@ -250,24 +312,36 @@ def fused_decoder_layer(
 
     sa = params["self_attn"]
     ca = params["multihead_attn"]
-    # remap q/k projections into 128-lane head slots (exact zero-pad)
-    sa_wq = pad_head_columns(c(sa["in_proj_kernel"][:, :D]), H, Dh)
-    sa_wk = pad_head_columns(c(sa["in_proj_kernel"][:, D:2 * D]), H, Dh)
-    sa_wqk = jnp.concatenate([sa_wq, sa_wk], axis=1)       # [D, 2*H*128]
-    sa_bq = pad_head_columns(c(sa["in_proj_bias"][:D]), H, Dh)
-    sa_bk = pad_head_columns(c(sa["in_proj_bias"][D:2 * D]), H, Dh)
-    sa_bqk = jnp.concatenate([sa_bq, sa_bk], axis=-1)
-    # self-attn VALUES in head slots as well: wv gets padded columns and
-    # the out projection padded rows (zero slots contract to zero)
-    sa_wv = pad_head_columns(c(sa["in_proj_kernel"][:, 2 * D:]), H, Dh)
-    sa_bv = pad_head_columns(c(sa["in_proj_bias"][2 * D:]), H, Dh)
-    sa_wout = pad_head_rows(c(sa["out_proj"]["kernel"]), H, Dh)
-    ca_wq = pad_head_columns(c(ca["in_proj_kernel"][:, :D]), H, Dh)
-    ca_bq = pad_head_columns(c(ca["in_proj_bias"][:D]), H, Dh)
-    ca_wk = pad_head_columns(c(ca["in_proj_kernel"][:, D:2 * D]), H, Dh)
-    ca_bk = pad_head_columns(c(ca["in_proj_bias"][D:2 * D]), H, Dh)
-
-    HP = H * 128
+    if layout == "packed":
+        # compact projections; per-head separation happens in-kernel
+        sa_wqk = c(sa["in_proj_kernel"][:, :2 * D])
+        sa_bqk = c(sa["in_proj_bias"][:2 * D])
+        sa_wv = c(sa["in_proj_kernel"][:, 2 * D:])
+        sa_bv = c(sa["in_proj_bias"][2 * D:])
+        sa_wout = c(sa["out_proj"]["kernel"])
+        ca_wq = c(ca["in_proj_kernel"][:, :D])
+        ca_bq = c(ca["in_proj_bias"][:D])
+        ca_wk = c(ca["in_proj_kernel"][:, D:2 * D])
+        ca_bk = c(ca["in_proj_bias"][D:2 * D])
+        HP = D
+    else:
+        # remap q/k projections into 128-lane head slots (exact zero-pad)
+        sa_wq = pad_head_columns(c(sa["in_proj_kernel"][:, :D]), H, Dh)
+        sa_wk = pad_head_columns(c(sa["in_proj_kernel"][:, D:2 * D]), H, Dh)
+        sa_wqk = jnp.concatenate([sa_wq, sa_wk], axis=1)   # [D, 2*H*128]
+        sa_bq = pad_head_columns(c(sa["in_proj_bias"][:D]), H, Dh)
+        sa_bk = pad_head_columns(c(sa["in_proj_bias"][D:2 * D]), H, Dh)
+        sa_bqk = jnp.concatenate([sa_bq, sa_bk], axis=-1)
+        # self-attn VALUES in head slots as well: wv gets padded columns and
+        # the out projection padded rows (zero slots contract to zero)
+        sa_wv = pad_head_columns(c(sa["in_proj_kernel"][:, 2 * D:]), H, Dh)
+        sa_bv = pad_head_columns(c(sa["in_proj_bias"][2 * D:]), H, Dh)
+        sa_wout = pad_head_rows(c(sa["out_proj"]["kernel"]), H, Dh)
+        ca_wq = pad_head_columns(c(ca["in_proj_kernel"][:, :D]), H, Dh)
+        ca_bq = pad_head_columns(c(ca["in_proj_bias"][:D]), H, Dh)
+        ca_wk = pad_head_columns(c(ca["in_proj_kernel"][:, D:2 * D]), H, Dh)
+        ca_bk = pad_head_columns(c(ca["in_proj_bias"][D:2 * D]), H, Dh)
+        HP = H * 128
     rows = lambda i: (i, 0)
     rep = lambda i: (0, 0)
     frame = pl.BlockSpec((Bb * T, D), rows, memory_space=pltpu.VMEM)
@@ -280,7 +354,7 @@ def fused_decoder_layer(
     # is strictly cheaper (no same-sample mask) and always legal
     ps = (T % 8 == 0) and (per_sample_attention or Bb == 1)
     kernel = functools.partial(_kernel, T=T, L=L, H=H, activation=activation,
-                               per_sample=ps)
+                               per_sample=ps, layout=layout)
     # LADIFF_DECODE_VMEM_MB (trace-time) raises the scoped-VMEM budget so
     # larger sample blocks fit: bb16 per-sample needs ~40M vs the 16M
     # default scope (PERF.md decode sweep).  0 = compiler default.

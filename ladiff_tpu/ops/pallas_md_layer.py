@@ -17,12 +17,19 @@ end-to-end and the per-sample AdaLN scale/shift/value tensors stay [B, D]
 
 Attention trick: with T=9 latent + E=2 extra tokens per sample, a block of
 ``Bb`` samples is flattened to [Bb*T, D] rows and attention uses a
-block-diagonal same-sample bias.  Per-head q/k — and values (default,
-LADIFF_MD_VSLOT) — live in 128-lane-aligned head slots (weights remapped
-by pad_head_columns / pad_head_rows), so per-head score AND value GEMMs
-slice at legal lane boundaries with a 128-lane head dim — Mosaic can't do
-sub-128-lane slices, and the lane-masked full-D products they replace
-cost H× the value FLOPs.
+block-diagonal same-sample bias.  Head layout (LADIFF_MD_LAYOUT):
+
+* ``packed`` (default) — projections stay COMPACT ([D, 3D] qkv, [D, D]
+  out); 128//Dh heads share each 128-lane slot.  Per head, the other
+  heads' lanes of q are zeroed before the score GEMM and the value GEMM's
+  mixed slot output is lane-masked back to the head's range.  Score/value
+  MXU passes match ``slots`` (K=128 per head either way — the MXU rounds
+  sub-128 contractions up regardless), but the qkv/out projections shed
+  the 2x slot-padding lanes entirely.  Measured A/B in PERF.md.
+* ``slots`` — one 128-lane slot per head for q/k/v (weights remapped by
+  pad_head_columns / pad_head_rows); the round-2 layout.
+* ``masked`` — slots for q/k, lane-masked full-D value products (costs
+  H× the value FLOPs; kept for A/B).
 
 Exactly equivalent to MDTransformerLayer's XLA path (the reference
 mdiff_transformer.py:265-321 semantics); verified in
@@ -58,21 +65,23 @@ def _kernel(x_ref, extra_ref, kvalid_ref, value_ref,
             ca_lns_ref, ca_lnb_ref, wca_ref, bca_ref,
             f_w1_ref, f_b1_ref, f_w2_ref, f_b2_ref,
             f_lns_ref, f_lnb_ref, f_wp_ref, f_bp_ref,
-            out_ref, *, T: int, E: int, H: int, v_slots: bool):
+            out_ref, *, T: int, E: int, H: int, layout: str):
     Bb = value_ref.shape[0]
     M = Bb * T           # latent rows in this block
     KE = Bb * E          # extra rows
     D = x_ref.shape[1]
     Dh = D // H
-    HP = H * 128
+    HP = D if layout == "packed" else H * 128
     dtype = x_ref.dtype
 
     x = x_ref[...]
 
     # --- self-attention over [latents ; extras] -------------------------
-    # wqkv is pre-remapped so q/k — and, with v_slots, values too — live in
-    # 128-lane head slots (see pad_head_columns); otherwise v keeps the
-    # trailing D lanes
+    # "slots"/"masked": wqkv is pre-remapped so q/k — and, with "slots",
+    # values too — live in 128-lane head slots (see pad_head_columns);
+    # "masked" keeps v in the trailing D lanes.  "packed": wqkv stays
+    # compact [D, 3D] — 128//Dh heads share each lane slot and per-head
+    # separation happens via lane masks below.
     qkv = _dot(x, wqkv_ref[...]) + bqkv_ref[...].astype(jnp.float32)
     q_pad = qkv[:, :HP].astype(dtype)
     kx = qkv[:, HP:2 * HP]
@@ -98,7 +107,32 @@ def _kernel(x_ref, extra_ref, kvalid_ref, value_ref,
     bias = jnp.where(same, 0.0, _NEG_INF)
 
     scale = 1.0 / (Dh ** 0.5)
-    if v_slots:
+    if layout == "packed":
+        # compact layout: 128//Dh heads per 128-lane slot.  Per head, the
+        # OTHER heads' lanes of q are zeroed before the score GEMM (their
+        # k lanes then contribute nothing), and the value GEMM's mixed
+        # slot output is lane-masked back to the head's own range before
+        # accumulation.  Score/value MXU passes are identical to "slots"
+        # (K=128 per head either way) but the qkv projection emits 3D
+        # instead of (2H+H)*128 lanes and the out projection contracts D
+        # instead of H*128 — removing the slot-padding FLOPs entirely.
+        S = 128 // Dh                       # heads per slot
+        G = D // 128                        # slots
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // Dh
+        outs = []
+        for g in range(G):
+            qs = q_pad[:, g * 128:(g + 1) * 128]
+            ks = k_pad[:, g * 128:(g + 1) * 128]
+            vs = v[:, g * 128:(g + 1) * 128]
+            acc = jnp.zeros((M, 128), jnp.float32)
+            for j in range(S):
+                hm = (lane == j).astype(dtype)
+                s = _dot_t(qs * hm, ks) * scale + bias   # [M, M+KE] f32
+                w = jax.nn.softmax(s, axis=-1).astype(dtype)
+                acc = acc + _dot(w, vs) * hm.astype(jnp.float32)
+            outs.append(acc)
+        ctx = jnp.concatenate(outs, axis=1)              # [M, D]
+    elif layout == "slots":
         # values in head slots: each value GEMM contracts the head's own
         # 128-lane slot instead of a lane-masked full-D product (half the
         # value-side MXU passes for Dh=64); ctx stays in slot layout and
@@ -164,7 +198,16 @@ def _kernel(x_ref, extra_ref, kvalid_ref, value_ref,
     out_ref[...] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "E", "H", "block_samples"))
+def _env_layout() -> str:
+    import os
+    layout = os.environ.get("LADIFF_MD_LAYOUT", "")
+    if not layout:
+        layout = ("packed"
+                  if os.environ.get("LADIFF_MD_VSLOT", "1") == "1"
+                  else "masked")
+    return layout
+
+
 def fused_md_layer(
     x: jax.Array,          # [B*T, D] latent rows
     extra: jax.Array,      # [B*E, D] text+time rows (k/v only)
@@ -175,7 +218,27 @@ def fused_md_layer(
     sa: dict, ca_proj: dict, ffn: dict,
     *, T: int, E: int, H: int, block_samples: int = 32,
 ) -> jax.Array:
-    """sa/ca_proj/ffn are param dicts (see MDTransformerLayer)."""
+    """sa/ca_proj/ffn are param dicts (see MDTransformerLayer).
+
+    Head layout comes from LADIFF_MD_LAYOUT (resolved here, OUTSIDE the
+    jit, so switching it retraces instead of hitting a stale cache)."""
+    D = x.shape[1]
+    layout = _env_layout()
+    if layout == "packed" and (128 % (D // H) != 0 or D % 128 != 0):
+        layout = "slots"
+    return _fused_md_layer(
+        x, extra, kvalid, value, ca_scale, ca_shift, ffn_scale, ffn_shift,
+        sa, ca_proj, ffn, T=T, E=E, H=H, block_samples=block_samples,
+        layout=layout)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "E", "H", "block_samples",
+                                             "layout"))
+def _fused_md_layer(
+    x, extra, kvalid, value, ca_scale, ca_shift, ffn_scale, ffn_shift,
+    sa: dict, ca_proj: dict, ffn: dict,
+    *, T: int, E: int, H: int, block_samples: int, layout: str,
+) -> jax.Array:
     BT, D = x.shape
     B = BT // T
     F1 = sa["linear1"]["kernel"].shape[1]
@@ -218,38 +281,45 @@ def fused_md_layer(
 
     c = lambda a: a.astype(dtype)
     vec = lambda a: a.reshape(1, -1)
-    # remap q/k projections into 128-lane head slots (exact zero-pad): the
-    # per-head score GEMMs then contract over K=128 instead of a lane-
-    # masked full-D product (half the MXU passes).  With v_slots (default)
-    # the value projection and the out projection move to the slot layout
-    # too (zero-pad columns / rows), halving the value-side passes as well;
-    # LADIFF_MD_VSLOT=0 keeps the lane-masked value path for A/B timing.
+    # Head layout (LADIFF_MD_LAYOUT, default "packed"):
+    #   packed — compact [D, 3D] qkv / [D, D] out projections; 128//Dh
+    #            heads share each lane slot, separated by in-kernel lane
+    #            masks (score/value MXU passes unchanged, projection
+    #            slot-padding FLOPs gone).  Needs Dh | 128 and 128 | D.
+    #   slots  — q/k/v remapped into one 128-lane slot per head
+    #            (pad_head_columns / pad_head_rows); round-2 default.
+    #   masked — slots for q/k only, lane-masked full-D value products.
+    # Legacy LADIFF_MD_VSLOT=0 still selects "masked".
     from ladiff_tpu.ops.pallas_decoder_layer import (pad_head_columns,
                                                      pad_head_rows)
-    import os
-    v_slots = os.environ.get("LADIFF_MD_VSLOT", "1") == "1"
     Dh = D // H
     ipk = c(sa["self_attn"]["in_proj_kernel"])
     ipb = c(sa["self_attn"]["in_proj_bias"])
-    vpart_k = (pad_head_columns(ipk[:, 2 * D:], H, Dh) if v_slots
-               else ipk[:, 2 * D:])
-    vpart_b = (pad_head_columns(ipb[2 * D:], H, Dh) if v_slots
-               else ipb[2 * D:])
-    wqkv_pad = jnp.concatenate([
-        pad_head_columns(ipk[:, :D], H, Dh),
-        pad_head_columns(ipk[:, D:2 * D], H, Dh),
-        vpart_k,
-    ], axis=1)
-    bqkv_pad = jnp.concatenate([
-        pad_head_columns(ipb[:D], H, Dh),
-        pad_head_columns(ipb[D:2 * D], H, Dh),
-        vpart_b,
-    ], axis=-1)
-    wout = c(sa["self_attn"]["out_proj"]["kernel"])
-    if v_slots:
-        wout = pad_head_rows(wout, H, Dh)
-    HPW = 2 * H * 128 + (H * 128 if v_slots else D)
-    kernel = functools.partial(_kernel, T=T, E=E, H=H, v_slots=v_slots)
+    if layout == "packed":
+        wqkv_pad, bqkv_pad = ipk, ipb
+        wout = c(sa["self_attn"]["out_proj"]["kernel"])
+        HPW = 3 * D
+    else:
+        v_slots = layout == "slots"
+        vpart_k = (pad_head_columns(ipk[:, 2 * D:], H, Dh) if v_slots
+                   else ipk[:, 2 * D:])
+        vpart_b = (pad_head_columns(ipb[2 * D:], H, Dh) if v_slots
+                   else ipb[2 * D:])
+        wqkv_pad = jnp.concatenate([
+            pad_head_columns(ipk[:, :D], H, Dh),
+            pad_head_columns(ipk[:, D:2 * D], H, Dh),
+            vpart_k,
+        ], axis=1)
+        bqkv_pad = jnp.concatenate([
+            pad_head_columns(ipb[:D], H, Dh),
+            pad_head_columns(ipb[D:2 * D], H, Dh),
+            vpart_b,
+        ], axis=-1)
+        wout = c(sa["self_attn"]["out_proj"]["kernel"])
+        if v_slots:
+            wout = pad_head_rows(wout, H, Dh)
+        HPW = 2 * H * 128 + (H * 128 if v_slots else D)
+    kernel = functools.partial(_kernel, T=T, E=E, H=H, layout=layout)
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -6,6 +6,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.experimental import pallas as pl
 
 from ladiff_tpu.ops.stylization import LinearTemporalCrossAttention, StylizedFFN
@@ -194,9 +195,12 @@ def test_n1_collapse_matches_general_einsum():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-def test_fused_md_layer_matches_module(monkeypatch):
+@pytest.mark.parametrize("layout", ["packed", "slots", "masked"])
+def test_fused_md_layer_matches_module(monkeypatch, layout):
     """The whole-layer pallas kernel must equal MDTransformerLayer's XLA
-    path (interpret mode; backend gate monkeypatched to route fused)."""
+    path (interpret mode; backend gate monkeypatched to route fused) —
+    for every head layout (LADIFF_MD_LAYOUT)."""
+    monkeypatch.setenv("LADIFF_MD_LAYOUT", layout)
     from ladiff_tpu.ops.stylization import MDTransformerLayer
 
     B, T, D, H = 4, 9, 256, 4
@@ -245,9 +249,12 @@ def test_fused_md_layer_no_mask(monkeypatch):
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
 
 
-def test_fused_decoder_layer_matches_module(monkeypatch):
+@pytest.mark.parametrize("layout", ["packed", "slots"])
+def test_fused_decoder_layer_matches_module(monkeypatch, layout):
     """The whole decoder-layer kernel (self-attn + cross-attn + FFN) must
-    equal TransformerDecoderLayer's post-norm XLA path."""
+    equal TransformerDecoderLayer's post-norm XLA path — for both head
+    layouts (LADIFF_DECODE_LAYOUT)."""
+    monkeypatch.setenv("LADIFF_DECODE_LAYOUT", layout)
     from ladiff_tpu.ops.transformer import TransformerDecoderLayer
 
     B, T, L, D, H = 3, 20, 5, 256, 4
