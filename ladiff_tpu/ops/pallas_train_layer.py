@@ -22,8 +22,11 @@ blocked over samples.  The only residuals are the layer INPUTS: the
 backward re-derives the whole chain from x (flash-style remat) and
 regenerates all four dropout mask groups from the same counter-based
 seed.  Per-head q/k/v live in 128-lane head slots with per-sample
-attention blocks (layout of pallas_train_attention.py; slot-layout
-weight gradients are un-mapped outside the kernel).
+attention blocks (the "slots" layout of pallas_train_attention.py;
+slot-layout weight gradients are un-mapped outside the kernel).  This
+opt-in whole-layer kernel stays pinned to "slots" — it was measured a
+wash vs the split kernels (PERF.md) and is not on the default path, so
+it did not get the round-3 packed-layout treatment.
 
 Semantics match TransformerEncoderLayer's post-norm XLA path site-for-
 site (ops/transformer.py; reference cross_attention.py:264-329).  Mask
@@ -226,7 +229,7 @@ def _fwd(x, kvalid, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
            ln1s, ln1b, ln2s, ln2b, seed)
     (xp, kvp, wqkv_s, bqkv_s, wout_s, bout_r,
      B, Bp, Bb, Sp, D) = _prep(x, kvalid, wqkv, bqkv, wout, bout, H, S,
-                               block_samples)
+                               block_samples, "slots")
     F = w1.shape[1]
     HP = H * 128
     dtype = xp.dtype
@@ -268,7 +271,7 @@ def _bwd(H, S, rate, activation, block_samples, res, dout):
      ln1s, ln1b, ln2s, ln2b, seed) = res
     (xp, kvp, wqkv_s, bqkv_s, wout_s, bout_r,
      B, Bp, Bb, Sp, D) = _prep(x, kvalid, wqkv, bqkv, wout, bout, H, S,
-                               block_samples)
+                               block_samples, "slots")
     F = w1.shape[1]
     HP = H * 128
     Dh = D // H

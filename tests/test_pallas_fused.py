@@ -443,10 +443,13 @@ def test_joint_stage_grad_with_fused_gates(monkeypatch):
         lambda a: float(jnp.abs(a).max()), g["vae"]))) > 0
 
 
-def test_train_self_attention_rate0_matches_xla():
+@pytest.mark.parametrize("layout", ["packed", "slots"])
+def test_train_self_attention_rate0_matches_xla(monkeypatch, layout):
     """Fused training self-attention at dropout 0: forward + every gradient
     must match the XLA chain (interpret mode; the dropout path needs the
-    TPU hardware PRNG — scripts/validate_train_fused.py)."""
+    TPU hardware PRNG — scripts/validate_train_fused.py) — for both head
+    layouts (LADIFF_TRAIN_ATTN_LAYOUT)."""
+    monkeypatch.setenv("LADIFF_TRAIN_ATTN_LAYOUT", layout)
     from ladiff_tpu.ops.pallas_train_attention import train_self_attention
 
     rs = np.random.RandomState(1)
