@@ -95,6 +95,9 @@ def main():
                     help="22 = HumanML3D (no resample), 21 = KIT mmm "
                          "(100 -> 12.5 fps decimation + smplh scaling, "
                          "reference fit.py:171-185); 0 = infer from data")
+    ap.add_argument("--save_folder", type=str, default=None,
+                    help="write <name>_smpl.npz files here instead of "
+                         "next to the inputs (reference fit.py --save_folder)")
     args = ap.parse_args()
 
     model = SMPLModel.load(args.smpl)
@@ -129,6 +132,9 @@ def main():
         params, loss = fit_sequence(model, joints, iters=args.iters,
                                     gmm_dir=args.gmm, verbose=True)
         out = f.rsplit(".", 1)[0] + "_smpl.npz"
+        if args.save_folder:
+            os.makedirs(args.save_folder, exist_ok=True)
+            out = os.path.join(args.save_folder, os.path.basename(out))
         np.savez(out, **params)
         print(f"  -> {out} (final loss {loss:.6f})")
 
