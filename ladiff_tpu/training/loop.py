@@ -230,6 +230,14 @@ def run_training(cfg, dm: T2MDataModule, logger,
         raise ValueError(
             f"TRAIN.TENSOR_PARALLEL={n_model} must divide the device count "
             f"({n_avail})")
+    # TRAIN.FSDP=true shards the train state (params + AdamW moments)
+    # over the DATA axis instead (ZeRO-3 layout, parallel/fsdp.py); XLA
+    # gathers weights just-in-time and reduce-scatters gradients
+    fsdp = bool(cfg.TRAIN.get("FSDP", False))
+    if fsdp and n_model > 1:
+        raise ValueError(
+            "TRAIN.FSDP and TRAIN.TENSOR_PARALLEL>1 are mutually exclusive "
+            "(pick one sharded-state layout)")
     mesh = make_mesh(n_model=n_model)
     n_dev = int(np.prod(mesh.devices.shape))
     exp_dir = cfg.get("FOLDER_EXP", ".")
@@ -256,7 +264,7 @@ def run_training(cfg, dm: T2MDataModule, logger,
     is_action = system.condition == "action"
     if stage == "vae":
         state = create_train_state(params["vae"], tx)
-        step_fn = make_vae_train_step(system, mesh)
+        step_fn = make_vae_train_step(system, mesh, fsdp=fsdp)
         embedder = None
     elif stage == "diffusion":
         # stage-1 boot: restore the pretrained VAE (reference train.py:181-193)
@@ -292,7 +300,8 @@ def run_training(cfg, dm: T2MDataModule, logger,
             embedder = CaptionEmbedder(text_encoder)
             uncond = embedder.uncond
         state = create_train_state(params["denoiser"], tx)
-        step_fn = make_diffusion_train_step(system, mesh, vae_params, uncond)
+        step_fn = make_diffusion_train_step(system, mesh, vae_params,
+                                            uncond, fsdp=fsdp)
     elif stage == "vae_diffusion":
         if text_encoder is None:
             from ladiff_tpu.models.clip_text import ClipTextEncoder
@@ -301,7 +310,8 @@ def run_training(cfg, dm: T2MDataModule, logger,
         embedder = CaptionEmbedder(text_encoder)
         from ladiff_tpu.training.trainer import make_vae_diffusion_train_step
         state = create_train_state(params, tx)
-        step_fn = make_vae_diffusion_train_step(system, mesh, embedder.uncond)
+        step_fn = make_vae_diffusion_train_step(system, mesh, embedder.uncond,
+                                                fsdp=fsdp)
     else:
         raise ValueError(f"unsupported stage {stage}")
 
@@ -329,6 +339,9 @@ def run_training(cfg, dm: T2MDataModule, logger,
         # lay the (possibly restored) state out with the TP weight specs;
         # the jitted step then inherits the shardings from its arguments
         from ladiff_tpu.parallel.tp import shard_train_state
+        state = shard_train_state(state, mesh)
+    elif fsdp:
+        from ladiff_tpu.parallel.fsdp import shard_train_state
         state = shard_train_state(state, mesh)
 
     end_epoch = max_epochs if max_epochs is not None else int(cfg.TRAIN.END_EPOCH)

@@ -52,34 +52,46 @@ def _shardings(mesh: Mesh):
     return repl, data
 
 
-def _jit_step(step, mesh: Mesh, batch_sh, repl):
+def _jit_step(step, mesh: Mesh, batch_sh, repl, fsdp: bool = False):
     """jit a train step for the mesh.
 
-    DP mesh (model axis 1): explicit replicated state shardings, as before.
-    TP mesh (model axis > 1): the state arrives device_put with the
-    ``parallel.tp`` specs, so shardings are inferred from the committed
-    arguments, and the trace runs under ``no_pallas()`` — the SPMD
-    partitioner cannot split the fused kernels' custom calls.
+    DP mesh (model axis 1, no FSDP): explicit replicated state shardings.
+    TP mesh (model axis > 1) or FSDP (params sharded over the DATA axis,
+    parallel/fsdp.py): the state arrives device_put with the tp/fsdp
+    specs, so shardings are inferred from the committed arguments, and
+    the trace runs under ``no_pallas()`` — the SPMD partitioner cannot
+    split the fused kernels' custom calls.
     """
-    if mesh.shape[MODEL_AXIS] <= 1:
+    if mesh.shape[MODEL_AXIS] <= 1 and not fsdp:
         jitted = jax.jit(step, in_shardings=(repl, batch_sh, repl),
                          out_shardings=(repl, repl), donate_argnums=(0,))
         jitted.raw_step = step
         return jitted
     from ladiff_tpu.ops.pallas_common import no_pallas
-    from ladiff_tpu.parallel.tp import tp_spec_for
-    nm = mesh.shape[MODEL_AXIS]
+    if mesh.shape[MODEL_AXIS] > 1:
+        from ladiff_tpu.parallel.tp import tp_spec_for
+        nm = mesh.shape[MODEL_AXIS]
+
+        def spec_for(path, x):
+            return tp_spec_for(path, x, nm)
+    else:
+        from ladiff_tpu.parallel.fsdp import fsdp_spec_for
+        nd = mesh.shape[DATA_AXIS]
+
+        def spec_for(path, x):
+            return fsdp_spec_for(x, nd)
 
     def step_xla(state, batch, rng):
         with no_pallas():
             new_state, logs = step(state, batch, rng)
-        # pin the OUTPUT state to the tp specs too: without the constraint
-        # GSPMD may materialize some updated leaves with a different
-        # layout, so the next call's arguments would no longer match the
-        # compiled signature (silent recompile + drift off the TP layout)
+        # pin the OUTPUT state to the tp/fsdp specs too: without the
+        # constraint GSPMD may materialize some updated leaves with a
+        # different layout, so the next call's arguments would no longer
+        # match the compiled signature (silent recompile + drift off the
+        # sharded layout)
         new_state = jax.tree_util.tree_map_with_path(
             lambda path, x: jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, tp_spec_for(path, x, nm))),
+                x, NamedSharding(mesh, spec_for(path, x))),
             new_state)
         return new_state, logs
 
@@ -88,7 +100,8 @@ def _jit_step(step, mesh: Mesh, batch_sh, repl):
     return jitted
 
 
-def make_vae_train_step(system: LADiffSystem, mesh: Mesh) -> Callable:
+def make_vae_train_step(system: LADiffSystem, mesh: Mesh,
+                        fsdp: bool = False) -> Callable:
     """jitted (state, batch, rng) -> (state, logs); stage-1 VAE training."""
     repl, data = _shardings(mesh)
 
@@ -104,11 +117,12 @@ def make_vae_train_step(system: LADiffSystem, mesh: Mesh) -> Callable:
         return state, logs
 
     batch_sh = {"motion": data, "length": data}
-    return _jit_step(step, mesh, batch_sh, repl)
+    return _jit_step(step, mesh, batch_sh, repl, fsdp=fsdp)
 
 
 def make_diffusion_train_step(system: LADiffSystem, mesh: Mesh,
-                              vae_params, uncond_emb) -> Callable:
+                              vae_params, uncond_emb,
+                              fsdp: bool = False) -> Callable:
     """jitted (state, batch, rng) -> (state, logs); stage-2 denoiser training
     with the stage-1 VAE frozen (reference ladiff.py:94-98 freezes vae)."""
     repl, data = _shardings(mesh)
@@ -132,11 +146,12 @@ def make_diffusion_train_step(system: LADiffSystem, mesh: Mesh,
 
     cond_key = "action" if system.condition == "action" else "text_emb"
     batch_sh = {"motion": data, "length": data, cond_key: data}
-    return _jit_step(step, mesh, batch_sh, repl)
+    return _jit_step(step, mesh, batch_sh, repl, fsdp=fsdp)
 
 
 def make_vae_diffusion_train_step(system: LADiffSystem, mesh: Mesh,
-                                  uncond_emb) -> Callable:
+                                  uncond_emb,
+                                  fsdp: bool = False) -> Callable:
     """jitted joint-stage step training BOTH the VAE and the denoiser
     (reference TRAIN.STAGE=vae_diffusion).  ``state.params`` is the full
     {"vae", "denoiser"} tree."""
@@ -156,4 +171,4 @@ def make_vae_diffusion_train_step(system: LADiffSystem, mesh: Mesh,
         return state, logs
 
     batch_sh = {"motion": data, "length": data, "text_emb": data}
-    return _jit_step(step, mesh, batch_sh, repl)
+    return _jit_step(step, mesh, batch_sh, repl, fsdp=fsdp)
