@@ -156,12 +156,14 @@ class TemosMetrics:
         tuples for one batch — the inner body of the reference update loop
         (compute_best.py:23-48), factored so the best/worst variants can
         select among trials before accumulating."""
+        joints_rst = np.asarray(joints_rst)  # one host fetch per batch,
+        joints_ref = np.asarray(joints_ref)  # not per sample
         out = []
         for i, L in enumerate(lengths):
             L = int(L)
-            jt, pt, rt, tt = rifke_canonicalize(np.asarray(joints_rst)[i, :L],
+            jt, pt, rt, tt = rifke_canonicalize(joints_rst[i, :L],
                                                 self.jointstype)
-            jr, pr, rr, tr = rifke_canonicalize(np.asarray(joints_ref)[i, :L],
+            jr, pr, rr, tr = rifke_canonicalize(joints_ref[i, :L],
                                                 self.jointstype)
             f = self.factor
             jt, pt, rt, tt = jt / f, pt / f, rt / f, tt / f

@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ladiff_tpu.ops.pallas_common import (NEG_INF as _NEG_INF, dot as _dot,
                                           dot_t as _dot_t, erf as _erf,
                                           ln as _ln)
+from ladiff_tpu.ops.pallas_decoder_layer import _heads_attention_packed
 
 __all__ = ["fused_md_layer"]
 
@@ -108,30 +109,9 @@ def _kernel(x_ref, extra_ref, kvalid_ref, value_ref,
 
     scale = 1.0 / (Dh ** 0.5)
     if layout == "packed":
-        # compact layout: 128//Dh heads per 128-lane slot.  Per head, the
-        # OTHER heads' lanes of q are zeroed before the score GEMM (their
-        # k lanes then contribute nothing), and the value GEMM's mixed
-        # slot output is lane-masked back to the head's own range before
-        # accumulation.  Score/value MXU passes are identical to "slots"
-        # (K=128 per head either way) but the qkv projection emits 3D
-        # instead of (2H+H)*128 lanes and the out projection contracts D
-        # instead of H*128 — removing the slot-padding FLOPs entirely.
-        S = 128 // Dh                       # heads per slot
-        G = D // 128                        # slots
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // Dh
-        outs = []
-        for g in range(G):
-            qs = q_pad[:, g * 128:(g + 1) * 128]
-            ks = k_pad[:, g * 128:(g + 1) * 128]
-            vs = v[:, g * 128:(g + 1) * 128]
-            acc = jnp.zeros((M, 128), jnp.float32)
-            for j in range(S):
-                hm = (lane == j).astype(dtype)
-                s = _dot_t(qs * hm, ks) * scale + bias   # [M, M+KE] f32
-                w = jax.nn.softmax(s, axis=-1).astype(dtype)
-                acc = acc + _dot(w, vs) * hm.astype(jnp.float32)
-            outs.append(acc)
-        ctx = jnp.concatenate(outs, axis=1)              # [M, D]
+        # compact layout — per-head lane-mask separation inside each
+        # 128-lane slot; the shared helper carries the full rationale
+        ctx = _heads_attention_packed(q_pad, k_pad, v, bias, H, Dh, dtype)
     elif layout == "slots":
         # values in head slots: each value GEMM contracts the head's own
         # 128-lane slot instead of a lane-masked full-D product (half the

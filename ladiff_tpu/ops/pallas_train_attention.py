@@ -48,7 +48,8 @@ from ladiff_tpu.ops.pallas_common import NEG_INF as _NEG_INF, dot as _dot, \
 from ladiff_tpu.ops.pallas_decoder_layer import (pad_head_columns,
                                                  pad_head_rows)
 
-__all__ = ["train_self_attention", "attn_block_default"]
+__all__ = ["train_self_attention", "attn_block_default",
+           "resolve_attn_layout"]
 
 
 def attn_block_default(S: int, D: int, H: int) -> int:
@@ -91,11 +92,15 @@ def _mask_shapes(Bb, Sp, H, M, D):
     return [(Sp, Sp)] * (Bb * H) + [(M, D)]
 
 
-def _resolve_layout(layout, D=None, H=None):
+def resolve_attn_layout(layout, D=None, H=None):
     """None -> env default (LADIFF_TRAIN_ATTN_LAYOUT, "packed"); falls
     back to "slots" when the packed geometry doesn't apply (Dh must
-    divide 128, 128 must divide D).  _fwd and _bwd both resolve from the
-    same shapes, so they always agree."""
+    divide 128, 128 must divide D).  Callers (ops/transformer.py) resolve
+    ONCE and pass the result through ``train_self_attention``'s static
+    ``layout`` argument, so the env var is read at a single point per
+    trace and _fwd/_bwd can never disagree (the env is a trace-time
+    static like the sibling kernels' layout knobs: flipping it takes
+    effect on the next trace, e.g. a freshly built train step)."""
     if layout is None:
         import os
         layout = os.environ.get("LADIFF_TRAIN_ATTN_LAYOUT", "packed")
@@ -400,7 +405,7 @@ def train_self_attention(x, kvalid, wqkv, bqkv, wout, bout, seed,
 
 def _fwd(x, kvalid, wqkv, bqkv, wout, bout, seed, H, S, rate,
          block_samples, layout=None):
-    layout = _resolve_layout(layout, x.shape[1], H)
+    layout = resolve_attn_layout(layout, x.shape[1], H)
     res = (x, kvalid, wqkv, bqkv, wout, bout, seed)
     (xp, kvp, wqkv_s, bqkv_s, wout_s, bout_r,
      B, Bp, Bb, Sp, D) = _prep(x, kvalid, wqkv, bqkv, wout, bout, H, S,
@@ -431,7 +436,7 @@ def _fwd(x, kvalid, wqkv, bqkv, wout, bout, seed, H, S, rate,
 
 
 def _bwd(H, S, rate, block_samples, layout, res, dout):
-    layout = _resolve_layout(layout, res[0].shape[1], H)
+    layout = resolve_attn_layout(layout, res[0].shape[1], H)
     x, kvalid, wqkv, bqkv, wout, bout, seed = res
     (xp, kvp, wqkv_s, bqkv_s, wout_s, bout_r,
      B, Bp, Bb, Sp, D) = _prep(x, kvalid, wqkv, bqkv, wout, bout, H, S,

@@ -197,6 +197,7 @@ def _train_fused_attn(mod, attn_mod, x, key_valid, drop_rate):
             and (drop_rate == 0.0 or mod.has_rng("dropout"))):
         return None
     from ladiff_tpu.ops.pallas_train_attention import (attn_block_default,
+                                                       resolve_attn_layout,
                                                        train_self_attention)
     B, S, _ = x.shape
     bb_env = os.environ.get("LADIFF_TRAIN_ATTN_BLOCK", "")
@@ -218,7 +219,11 @@ def _train_fused_attn(mod, attn_mod, x, key_valid, drop_rate):
         kv.reshape(B * S, 1).astype(jnp.float32),
         p["in_proj_kernel"], p["in_proj_bias"],
         p["out_proj"]["kernel"], p["out_proj"]["bias"],
-        seed, mod.num_heads, S, float(drop_rate), bb)
+        seed, mod.num_heads, S, float(drop_rate), bb,
+        # resolved ONCE here (same altitude as the block env above) so
+        # the custom_vjp's fwd and bwd passes can never read the env at
+        # different times and disagree on the layout
+        resolve_attn_layout(None, D, mod.num_heads))
     return out.reshape(B, S, D)
 
 

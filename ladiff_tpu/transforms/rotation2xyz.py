@@ -146,10 +146,20 @@ class Rotation2xyz:
                                              return_vertices=want_verts)
             return out[1] if want_verts else out
 
-        if self.frame_chunk and (B * T) % self.frame_chunk == 0:
+        if self.frame_chunk:
+            # pad B*T up to a chunk multiple so the chunked path (which
+            # bounds the [chunk, 6890, 4, 4] skinning tensor) applies to
+            # EVERY batch shape, then trim; identity rotations keep the
+            # padded frames' LBS finite
+            n = B * T
+            pad = (-n) % self.frame_chunk
+            if pad:
+                eye = jnp.broadcast_to(jnp.eye(3, dtype=flat.dtype),
+                                       (pad, J, 3, 3))
+                flat = jnp.concatenate([flat, eye], axis=0)
             chunked = flat.reshape(-1, self.frame_chunk, J, 3, 3)
             out = jax.lax.map(lbs, chunked)
-            out = out.reshape(B * T, *out.shape[2:])
+            out = out.reshape(flat.shape[0], *out.shape[2:])[:n]
         else:
             out = lbs(flat)
         x_xyz = out.reshape(B, T, out.shape[1], 3)

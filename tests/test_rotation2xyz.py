@@ -131,12 +131,15 @@ def test_rotation2xyz_chunked_matches_unchunked():
     mask = np.ones((2, 8), bool)
     mask[0, 6:] = False
     a = Rotation2xyz(model, frame_chunk=0)
-    b = Rotation2xyz(model, frame_chunk=4)
+    b = Rotation2xyz(model, frame_chunk=4)   # 16 % 4 == 0: exact chunks
+    c = Rotation2xyz(model, frame_chunk=5)   # 16 % 5 != 0: padded + trimmed
     for jt, vt in (("smpl", True), ("vertices", False)):
-        np.testing.assert_allclose(
-            np.asarray(a(jnp.asarray(feats), jnp.asarray(mask), jt, vt)),
-            np.asarray(b(jnp.asarray(feats), jnp.asarray(mask), jt, vt)),
-            atol=1e-5)
+        ref = np.asarray(a(jnp.asarray(feats), jnp.asarray(mask), jt, vt))
+        for r2x in (b, c):
+            np.testing.assert_allclose(
+                np.asarray(r2x(jnp.asarray(feats), jnp.asarray(mask),
+                               jt, vt)),
+                ref, atol=1e-5)
 
 
 def test_action_vae_forward_has_joint_loss():
