@@ -3,8 +3,12 @@
 Protocol (BASELINE.md north star): batch-256 classifier-free-guided DDIM-50
 generation of 196-frame HumanML3D motions (263 feats) at the published model
 scale (9-layer MD-trans denoiser, 9-layer LA-VAE decode, d=256), on one TPU
-chip.  The whole pipeline — 50 denoiser evaluations with CFG batch doubling
-+ VAE decode — runs as a single jitted program with zero host sync.
+chip.  The whole pipeline — frozen CLIP ViT-L/14 text encode (77 tokens,
+fresh ids per batch so XLA cannot hoist it out of the loop) + 50 denoiser
+evaluations with CFG batch doubling + VAE decode — runs as a single jitted
+program with zero host sync.  The one cached piece is the unconditional
+CFG embedding: it is a constant of the model (the empty-prompt encode), so
+any real serving loop computes it once at startup.
 
 Baseline: the reference repo publishes no numbers (BASELINE.json
 ``published: {}``).  The closest published figure for this architecture
@@ -55,37 +59,59 @@ def main():
     params = jax.tree.map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
 
+    # frozen text tower at the reference scale (CLIP ViT-L/14 text: 12
+    # layers, width 768) — INSIDE the timed region since round 4 (the
+    # reference's COUNT_TIME protocol and MLD's 0.217 s/sentence both
+    # include the text forward)
+    from ladiff_tpu.models.clip_text import CLIPTextTower
+    tower = CLIPTextTower(dtype=dtype)
+    ids0 = np.random.RandomState(1).randint(
+        1, 49407, size=(BATCH, 77), dtype=np.int32)
+    tower_params = jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+        tower.init(jax.random.PRNGKey(3), jnp.asarray(ids0)))
+
+    def encode_text(tp, ids):
+        return tower.apply(tp, ids)[:, None, :].astype(jnp.float32)
+
     @jax.jit
-    def run(params, text_cond, text_uncond, lengths, rng):
-        feats, _ = system.generate(params, text_cond, text_uncond, lengths,
-                                   rng, nframes=FRAMES)
+    def run(params, tp, ids, text_uncond, lengths, rng):
+        feats, _ = system.generate(params, encode_text(tp, ids), text_uncond,
+                                   lengths, rng, nframes=FRAMES)
         # reduce to a scalar: fetching it forces full execution without a
         # bulk transfer (block_until_ready is unreliable over the axon relay)
         return jnp.float32(jnp.sum(feats))
 
     @jax.jit
-    def run_many(params, text_cond, text_uncond, lengths, rng):
-        def body(acc, r):
-            feats, _ = system.generate(params, text_cond, text_uncond,
-                                       lengths, r, nframes=FRAMES)
+    def run_many(params, tp, ids_stack, text_uncond, lengths, rng):
+        def body(acc, step):
+            r, ids = step
+            feats, _ = system.generate(params, encode_text(tp, ids),
+                                       text_uncond, lengths, r,
+                                       nframes=FRAMES)
             return acc + jnp.float32(jnp.sum(feats)), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
-                              jax.random.split(rng, SCAN_BATCHES))
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0.0),
+            (jax.random.split(rng, SCAN_BATCHES), ids_stack))
         return acc
 
     @jax.jit
     def noop(rng):
         return jnp.float32(jax.random.uniform(rng, ()))
 
-    text_cond = jnp.asarray(
-        np.random.RandomState(0).randn(BATCH, 1, 768).astype(np.float32))
+    # per-batch fresh token ids: loop-VARIANT text inputs, so the text
+    # forward stays inside the measured scan body
+    ids_stack = jnp.asarray(np.random.RandomState(2).randint(
+        1, 49407, size=(SCAN_BATCHES, BATCH, 77), dtype=np.int32))
+    ids = jnp.asarray(ids0)
     text_uncond = jnp.zeros((BATCH, 1, 768), jnp.float32)
     lengths = jnp.full((BATCH,), FRAMES, jnp.int32)
 
     # compile + warmup
-    np.asarray(run(params, text_cond, text_uncond, lengths, jax.random.PRNGKey(1)))
-    np.asarray(run_many(params, text_cond, text_uncond, lengths,
-                        jax.random.PRNGKey(1)))
+    np.asarray(run(params, tower_params, ids, text_uncond, lengths,
+                   jax.random.PRNGKey(1)))
+    np.asarray(run_many(params, tower_params, ids_stack, text_uncond,
+                        lengths, jax.random.PRNGKey(1)))
     np.asarray(noop(jax.random.PRNGKey(0)))
 
     # The axon relay's round-trip overhead wobbles with pool load (see
@@ -99,12 +125,12 @@ def main():
         np.asarray(noop(jax.random.PRNGKey(i)))
         noop_times.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(run(params, text_cond, text_uncond, lengths,
+        np.asarray(run(params, tower_params, ids, text_uncond, lengths,
                        jax.random.PRNGKey(2 + i)))
         run_times.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(run_many(params, text_cond, text_uncond, lengths,
-                            jax.random.PRNGKey(20 + i)))
+        np.asarray(run_many(params, tower_params, ids_stack, text_uncond,
+                            lengths, jax.random.PRNGKey(20 + i)))
         many_times.append(time.perf_counter() - t0)
     dt_single = min(run_times) - min(noop_times)
     dt = (min(many_times) - min(noop_times)) / SCAN_BATCHES
@@ -117,8 +143,8 @@ def main():
     print(json.dumps({
         "metric": "ddim50_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 2),
-        "unit": "samples/s (batch 256, 196 frames, CFG, DDIM-50, "
-                "steady-state over 8 batches)",
+        "unit": "samples/s (batch 256, 196 frames, CLIP text encode + CFG "
+                "DDIM-50 + decode, steady-state over 8 batches)",
         "vs_baseline": round(samples_per_sec / REF_SAMPLES_PER_SEC, 2),
     }))
 

@@ -253,7 +253,11 @@ def get_datasets(cfg, phase: str = "train") -> List[T2MDataModule]:
         t2m_path = cfg.model.get("t2m_path", None)
         if t2m_path:
             ename = "t2m" if name == "humanml3d" else name
-            meta = pjoin(t2m_path, ename, "Comp_v6_KLD01", "meta")
+            # the KIT evaluator release ships a different experiment dir
+            # (reference get_data.py:28-32: t2m -> Comp_v6_KLD01,
+            #  kit -> Comp_v6_KLD005)
+            exp = "Comp_v6_KLD005" if ename == "kit" else "Comp_v6_KLD01"
+            meta = pjoin(t2m_path, ename, exp, "meta")
             if os.path.exists(pjoin(meta, "mean.npy")):
                 mean_eval = np.load(pjoin(meta, "mean.npy")).astype(np.float32)
                 std_eval = np.load(pjoin(meta, "std.npy")).astype(np.float32)

@@ -105,8 +105,12 @@ class Encoder1D(nn.Module):
         for i in range(self.down_t):
             x = nn.Conv(self.width, (filt,), strides=(self.stride_t,),
                         padding=pad, name=f"down_{i}")(x)
+            # NB the reference encoder keeps Resnet1D's reverse_dilation
+            # default of True (encdec.py:26 passes it positionally up to
+            # dilation_growth_rate only) — torch-parity-tested via
+            # tests/test_mld_vae_t2m.py
             x = Resnet1D(self.depth, self.dilation_growth_rate,
-                         reverse_dilation=False, activation=self.activation,
+                         reverse_dilation=True, activation=self.activation,
                          norm=self.norm, name=f"res_{i}")(x)
         return nn.Conv(self.output_emb_width, (3,), padding=1,
                        name="out_conv")(x)

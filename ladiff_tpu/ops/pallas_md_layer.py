@@ -182,9 +182,15 @@ def _env_layout() -> str:
     import os
     layout = os.environ.get("LADIFF_MD_LAYOUT", "")
     if not layout:
-        layout = ("packed"
-                  if os.environ.get("LADIFF_MD_VSLOT", "1") == "1"
-                  else "masked")
+        # Legacy knob from the slots-era A/B scripts: VSLOT=1 meant "value
+        # in its own 128-lane slot" (now "slots"), VSLOT=0 meant "masked".
+        # Honor those meanings when the var is EXPLICITLY set so old timing
+        # scripts still measure what they name; default is "packed".
+        vslot = os.environ.get("LADIFF_MD_VSLOT")
+        if vslot is None:
+            layout = "packed"
+        else:
+            layout = "slots" if vslot == "1" else "masked"
     return layout
 
 
@@ -269,7 +275,8 @@ def _fused_md_layer(
     #   slots  — q/k/v remapped into one 128-lane slot per head
     #            (pad_head_columns / pad_head_rows); round-2 default.
     #   masked — slots for q/k only, lane-masked full-D value products.
-    # Legacy LADIFF_MD_VSLOT=0 still selects "masked".
+    # Legacy LADIFF_MD_VSLOT, when explicitly set, keeps its original
+    # meaning: 1 -> "slots", 0 -> "masked" (see _env_layout).
     from ladiff_tpu.ops.pallas_decoder_layer import (pad_head_columns,
                                                      pad_head_rows)
     Dh = D // H

@@ -385,7 +385,6 @@ def _prep(x, kvalid, wqkv, bqkv, wout, bout, H, S, block_samples, layout):
             bout.reshape(1, -1).astype(dtype), B, Bp, Bb, Sp, D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def train_self_attention(x, kvalid, wqkv, bqkv, wout, bout, seed,
                          H: int, S: int, rate: float = 0.0,
                          block_samples: int = 2, layout: str = None):
@@ -397,15 +396,28 @@ def train_self_attention(x, kvalid, wqkv, bqkv, wout, bout, seed,
     x and all four parameter tensors.  ``layout``: "packed" (compact
     projections, default via LADIFF_TRAIN_ATTN_LAYOUT) or "slots"
     (128-lane slot per head, the round-2 layout).
+
+    The env default is resolved HERE, once, before the custom_vjp call —
+    never inside _fwd/_bwd, whose traces can happen at different times (an
+    env flip between them would make the backward unpack dwqkv_s with the
+    wrong HP and silently corrupt weight gradients).
     """
+    layout = resolve_attn_layout(layout, x.shape[1], H)
+    return _attention_vjp(x, kvalid, wqkv, bqkv, wout, bout, seed, H, S,
+                          rate, block_samples, layout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _attention_vjp(x, kvalid, wqkv, bqkv, wout, bout, seed,
+                   H, S, rate, block_samples, layout):
     out, _ = _fwd(x, kvalid, wqkv, bqkv, wout, bout, seed, H, S, rate,
                   block_samples, layout)
     return out
 
 
 def _fwd(x, kvalid, wqkv, bqkv, wout, bout, seed, H, S, rate,
-         block_samples, layout=None):
-    layout = resolve_attn_layout(layout, x.shape[1], H)
+         block_samples, layout):
+    assert layout in ("packed", "slots"), layout
     res = (x, kvalid, wqkv, bqkv, wout, bout, seed)
     (xp, kvp, wqkv_s, bqkv_s, wout_s, bout_r,
      B, Bp, Bb, Sp, D) = _prep(x, kvalid, wqkv, bqkv, wout, bout, H, S,
@@ -436,7 +448,7 @@ def _fwd(x, kvalid, wqkv, bqkv, wout, bout, seed, H, S, rate,
 
 
 def _bwd(H, S, rate, block_samples, layout, res, dout):
-    layout = resolve_attn_layout(layout, res[0].shape[1], H)
+    assert layout in ("packed", "slots"), layout  # resolved by the wrapper
     x, kvalid, wqkv, bqkv, wout, bout, seed = res
     (xp, kvp, wqkv_s, bqkv_s, wout_s, bout_r,
      B, Bp, Bb, Sp, D) = _prep(x, kvalid, wqkv, bqkv, wout, bout, H, S,
@@ -504,4 +516,4 @@ def _bwd(H, S, rate, block_samples, layout, res, dout):
             np.zeros(jnp.shape(seed), jax.dtypes.float0))
 
 
-train_self_attention.defvjp(_fwd, _bwd)
+_attention_vjp.defvjp(_fwd, _bwd)

@@ -67,6 +67,7 @@ class LinearTemporalCrossAttention(nn.Module):
     num_heads: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    emb_dim: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -88,7 +89,8 @@ class LinearTemporalCrossAttention(nn.Module):
         query = nn.Dense(D, dtype=self.dtype, name="query")(xn)
         key = nn.Dense(D, dtype=self.dtype, name="key")(tn)
         proj_out = _StylizationParams(self.latent_dim, self.dropout,
-                                      dtype=self.dtype, name="proj_out")
+                                      dtype=self.dtype, emb_dim=self.emb_dim,
+                                      name="proj_out")
         if N == 1:
             # EXACT algebraic collapse for a single text token (the pooled-
             # CLIP configs): softmax over one key is 1, so the context
@@ -136,15 +138,22 @@ class LinearTemporalCrossAttention(nn.Module):
 
 class _StylizationParams(nn.Module):
     """StylizationBlock with addressable params (tree-identical to
-    StylizationBlock: emb_layers_1 / norm / out_layers_2)."""
+    StylizationBlock: emb_layers_1 / norm / out_layers_2).
+
+    ``emb_dim``: width of the conditioning embedding (reference
+    ``time_embed_dim``, mdiff_transformer.py:139-144).  Defaults to
+    ``latent_dim`` — the LADiff denoiser's choice; the full MotionDiffuse
+    model conditions on a 4x-wide time embedding."""
 
     latent_dim: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    emb_dim: Optional[int] = None
 
     def setup(self):
         D = self.latent_dim
-        self.emb_layers_1 = DenseParams(D, 2 * D, dtype=self.dtype,
+        self.emb_layers_1 = DenseParams(self.emb_dim or D, 2 * D,
+                                         dtype=self.dtype,
                                          name="emb_layers_1")
         self.norm = LNParams(D, dtype=self.dtype, name="norm")
         self.out_layers_2 = DenseParams(D, D, zero=True, dtype=self.dtype,
@@ -176,6 +185,7 @@ class StylizedFFN(nn.Module):
     ffn_dim: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    emb_dim: Optional[int] = None
 
     def setup(self):
         D, F = self.latent_dim, self.ffn_dim
@@ -183,6 +193,7 @@ class StylizedFFN(nn.Module):
         self.linear2 = DenseParams(F, D, zero=True, dtype=self.dtype,
                                     name="linear2")
         self.proj_out = _StylizationParams(D, self.dropout, dtype=self.dtype,
+                                           emb_dim=self.emb_dim,
                                            name="proj_out")
         self.drop = nn.Dropout(self.dropout)
 

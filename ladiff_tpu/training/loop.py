@@ -15,6 +15,8 @@ caching removes the text tower from the steady-state step entirely).
 """
 from __future__ import annotations
 
+import inspect
+import logging
 import queue
 import signal
 import threading
@@ -61,6 +63,14 @@ class HostPrefetcher:
         self._q: queue.Queue = queue.Queue(maxsize=max(1, int(depth)))
         self._stop = threading.Event()
         self._exc: Optional[BaseException] = None
+        # a prepare(item, stop_event) signature opts into checking the
+        # stop event between its pipeline stages, so close() doesn't have
+        # to wait out a whole collate+embed+transfer chain
+        try:
+            self._pass_stop = len(
+                inspect.signature(prepare).parameters) >= 2
+        except (TypeError, ValueError):
+            self._pass_stop = False
         self._thread = threading.Thread(
             target=self._run, args=(iterator, prepare), daemon=True)
         self._thread.start()
@@ -77,7 +87,12 @@ class HostPrefetcher:
     def _run(self, iterator, prepare):
         try:
             for item in iterator:
-                if self._stop.is_set() or not self._put(prepare(item)):
+                if self._stop.is_set():
+                    return
+                out = (prepare(item, self._stop) if self._pass_stop
+                       else prepare(item))
+                # a stop-aware prepare may have bailed mid-pipeline
+                if self._stop.is_set() or not self._put(out):
                     return
         except BaseException as e:  # surfaced in __next__
             self._exc = e
@@ -113,6 +128,15 @@ class HostPrefetcher:
         except queue.Empty:
             pass
         self._thread.join(timeout=5.0)
+        if self._thread.is_alive():
+            # still blocked inside prepare() (e.g. a slow host->device
+            # transfer over the relay): it will exit at its next stop-event
+            # check, but until then it is consuming the old iterator and
+            # may touch shared caches — make that visible instead of silent
+            logging.getLogger(__name__).warning(
+                "HostPrefetcher.close(): producer thread still running "
+                "after 5s join timeout (blocked inside prepare()); it will "
+                "exit at the next stop check")
 
 
 class PreemptionGuard:
@@ -369,20 +393,26 @@ def run_training(cfg, dm: T2MDataModule, logger,
     from ladiff_tpu.utils.logger import MetricsLogger
     metrics_sink = MetricsLogger.from_cfg(cfg)
 
-    def prepare_batch(batch: dict):
+    def prepare_batch(batch: dict, stop=None):
         """The per-step host pipeline: pad, assemble, embed captions,
         transfer host->device with the data sharding.  Runs on the
-        prefetch thread (or inline when TRAIN.PREFETCH=0)."""
+        prefetch thread (or inline when TRAIN.PREFETCH=0, stop=None).
+        ``stop`` is the prefetcher's stop event, checked between stages so
+        close() never waits out a whole embed+transfer chain."""
         batch = _pad_batch(batch, n_dev)
         device_batch = {
             "motion": np.ascontiguousarray(batch["motion"]),
             "length": np.ascontiguousarray(batch["length"]),
         }
+        if stop is not None and stop.is_set():
+            return None
         if stage in ("diffusion", "vae_diffusion"):
             if is_action:
                 device_batch["action"] = np.ascontiguousarray(batch["action"])
             else:
                 device_batch["text_emb"] = embedder(batch["text"])
+        if stop is not None and stop.is_set():
+            return None  # skip the (slow over the relay) device transfer
         return shard_batch(device_batch, mesh)
 
     # TRAIN.PREFETCH: queue depth for the background host pipeline

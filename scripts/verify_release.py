@@ -16,8 +16,11 @@ Steps:
      deltas with a PASS/FAIL on |ΔFID| <= --fid-tolerance (relative).
 
 --expected takes a JSON file {"FID": 0.xx, "R_precision_top_1": ...}
-holding the paper's HumanML3D table (arXiv:2407.11532; not in-tree —
-transcribe it once from the paper).
+holding the paper's table for the config's dataset (arXiv:2407.11532; not
+in-tree — transcribe it once from the paper).  Both released checkpoints
+are covered: the deps audit, converters and benchmark all key off the
+config, so the KIT gate is the same command with the KIT config
+(--cfg configs/config_ladiff_kit.yaml --expected paper_kit.json).
 
 --dry-run exercises the identical pipeline on synthetic data with
 random-init weights and 1 replication (no assets needed), so the gate
@@ -26,6 +29,8 @@ itself is testable in this no-egress image: tests/test_verify_release.py.
 Usage:
   python scripts/verify_release.py --ckpt deps/ladiff_humanml3d.ckpt \\
       --expected paper_humanml3d.json
+  python scripts/verify_release.py --cfg configs/config_ladiff_kit.yaml \\
+      --ckpt deps/ladiff_kit.ckpt --expected paper_kit.json
   python scripts/verify_release.py --dry-run
 """
 from __future__ import annotations
@@ -38,31 +43,49 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# (label, any-of paths, providing script)
-DEPS = [
+# (label, any-of paths, providing script) — shared + per-dataset tables;
+# the KIT evaluator release ships under Comp_v6_KLD005 (reference
+# get_data.py:28-32)
+DEPS_COMMON = [
     ("CLIP ViT-L/14 text tower",
      ["deps/clip-vit-large-patch14/model.safetensors",
       "deps/clip-vit-large-patch14/pytorch_model.bin"],
      "prepare/prepare_clip.sh"),
     ("GloVe word vectors", ["deps/glove/our_vab_data.npy"],
      "see prepare/README.md (HumanML3D release)"),
-    ("T2M evaluators", ["deps/t2m/t2m/text_mot_match/model/finest.tar"],
-     "prepare/download_t2m_evaluators.sh"),
-    ("evaluator norm stats", ["deps/t2m/t2m/Comp_v6_KLD01/meta/mean.npy"],
-     "prepare/download_t2m_evaluators.sh"),
-    ("HumanML3D dataset", ["datasets/humanml3d/Mean.npy"],
-     "see prepare/README.md (EricGuo5513/HumanML3D pipeline)"),
 ]
+DEPS_BY_DATASET = {
+    "humanml3d": [
+        ("T2M evaluators", ["deps/t2m/t2m/text_mot_match/model/finest.tar"],
+         "prepare/download_t2m_evaluators.sh"),
+        ("evaluator norm stats",
+         ["deps/t2m/t2m/Comp_v6_KLD01/meta/mean.npy"],
+         "prepare/download_t2m_evaluators.sh"),
+        ("HumanML3D dataset", ["datasets/humanml3d/Mean.npy"],
+         "see prepare/README.md (EricGuo5513/HumanML3D pipeline)"),
+    ],
+    "kit": [
+        ("KIT evaluators", ["deps/t2m/kit/text_mot_match/model/finest.tar"],
+         "prepare/download_t2m_evaluators.sh"),
+        ("evaluator norm stats",
+         ["deps/t2m/kit/Comp_v6_KLD005/meta/mean.npy"],
+         "prepare/download_t2m_evaluators.sh"),
+        ("KIT-ML dataset", ["datasets/kit-ml/Mean.npy"],
+         "see prepare/README.md (KIT-ML release)"),
+    ],
+}
 
 
-def audit_deps(root: str):
-    """Returns ([present labels], [(label, hint) missing])."""
+def audit_deps(root: str, dataset: str = "humanml3d"):
+    """Returns ([present labels], [(label, hint, expected_path) missing])."""
     present, missing = [], []
-    for label, paths, hint in DEPS:
+    table = DEPS_COMMON + DEPS_BY_DATASET.get(dataset,
+                                              DEPS_BY_DATASET["humanml3d"])
+    for label, paths, hint in table:
         if any(os.path.exists(os.path.join(root, p)) for p in paths):
             present.append(label)
         else:
-            missing.append((label, hint))
+            missing.append((label, hint, paths[0]))
     return present, missing
 
 
@@ -127,20 +150,18 @@ def main(argv=None):
                          "gate's plumbing runs in seconds (CI lane)")
     args = ap.parse_args(argv)
 
+    if args.tiny and not args.dry_run:
+        # --tiny shrinks the model to 3 layers / latent 32: converting or
+        # benchmarking REAL released weights against that config would fail
+        # or silently mis-report, so refuse instead
+        ap.error("--tiny is a --dry-run companion (it overrides the model "
+                 "architecture); combine it with --dry-run or drop it")
+
     from ladiff_tpu.utils.jax_cache import enable as _enable
     _enable()
 
     if args.dry_run:
         os.environ["LADIFF_SYNTHETIC_DATA"] = "1"
-
-    present, missing = audit_deps(os.getcwd())
-    for label in present:
-        print(f"  [ok]      {label}")
-    for label, hint in missing:
-        print(f"  [MISSING] {label}  ->  {hint}")
-    if missing and not args.dry_run:
-        print("note: missing assets fall back to deterministic stand-ins; "
-              "numbers below are then self-consistent, NOT paper-comparable")
 
     from ladiff_tpu.config import assemble_config
     from ladiff_tpu.utils.logger import create_logger
@@ -165,6 +186,16 @@ def main(argv=None):
             args.steps
     cfg = assemble_config(args.cfg, args.cfg_assets, overrides=overrides)
     logger = create_logger(cfg, phase="test")
+
+    dataset = (list(cfg.TEST.DATASETS) or ["humanml3d"])[0]
+    present, missing = audit_deps(os.getcwd(), dataset)
+    for label in present:
+        print(f"  [ok]      {label}")
+    for label, hint, path in missing:
+        print(f"  [MISSING] {label} (expected {path})  ->  {hint}")
+    if missing and not args.dry_run:
+        print("note: missing assets fall back to deterministic stand-ins; "
+              "numbers below are then self-consistent, NOT paper-comparable")
 
     params = None
     if args.ckpt:

@@ -9,10 +9,13 @@ import pytest
 
 # joints.py builds its material list at import time — a MagicMock bpy
 # satisfies both the import and those scene-side calls; the math half
-# under test never touches it
+# under test never touches it.  bpy is genuinely uninstalled (guard-checked;
+# see tests/_stubs.py), so the mock cannot poison later imports.
 from unittest.mock import MagicMock  # noqa: E402
 
-sys.modules.setdefault("bpy", MagicMock(name="bpy"))
+from _stubs import stub_missing  # noqa: E402
+
+stub_missing("bpy", MagicMock(name="bpy"))
 if "/root/reference/src" not in sys.path:
     sys.path.insert(0, "/root/reference/src")
 

@@ -50,8 +50,11 @@ pytestmark = pytest.mark.slow  # heavy harness: excluded from the fast lane
 
 torch = pytest.importorskip("torch")
 
-for _name in ("clip",):
-    sys.modules.setdefault(_name, types.ModuleType(_name))
+# clip is genuinely uninstalled (guard-checked; see tests/_stubs.py) — the
+# stub cannot poison later imports because nothing else can import "clip".
+from _stubs import stub_missing  # noqa: E402
+
+stub_missing("clip")
 if "/root/reference/src" not in sys.path:
     sys.path.insert(0, "/root/reference/src")
 

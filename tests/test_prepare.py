@@ -103,3 +103,38 @@ def test_verify_release_dry_run(tmp_path):
     # random weights vs arbitrary expectations: exit code only encodes the
     # gate verdict, both 0 and 1 are valid runs
     assert proc.returncode in (0, 1), out[-2000:]
+
+
+@pytest.mark.slow
+def test_verify_release_dry_run_kit(tmp_path):
+    """Same gate against the KIT config: dataset-aware deps audit (KIT
+    evaluator paths incl. the Comp_v6_KLD005 meta dir) + the same
+    convert -> benchmark -> delta flow, so the released KIT checkpoint is
+    one command from a PASS/FAIL the day assets land."""
+    expected = {"FID": 0.5}
+    exp_file = tmp_path / "expected_kit.json"
+    exp_file.write_text(json.dumps(expected))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "verify_release.py"),
+         "--cfg", os.path.join(REPO, "configs", "config_ladiff_kit.yaml"),
+         "--dry-run", "--tiny", "--expected", str(exp_file),
+         "--folder", str(tmp_path / "experiments")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    out = proc.stdout + proc.stderr
+    assert "KIT" in out, out[-2000:]          # KIT rows in the deps audit
+    assert "Comp_v6_KLD005" in out, out[-2000:]
+    assert "FID gate" in out, out[-2000:]
+    assert proc.returncode in (0, 1), out[-2000:]
+
+
+def test_verify_release_tiny_requires_dry_run():
+    """--tiny overrides the architecture; with a real --ckpt it must refuse
+    instead of mis-reporting (advisor finding, round 3)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "verify_release.py"),
+         "--tiny", "--ckpt", "/nonexistent.ckpt"],
+        cwd=REPO, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 2
+    assert "--dry-run companion" in (proc.stdout + proc.stderr)

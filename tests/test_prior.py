@@ -14,8 +14,12 @@ torch = pytest.importorskip("torch")
 
 def _load_ref(name, path):
     """Load a reference module straight from its file (the package __init__
-    chain pulls in smplx/config deps we don't have)."""
-    sys.modules.setdefault("config", types.ModuleType("config"))
+    chain pulls in smplx/config deps we don't have).  "config" is genuinely
+    uninstalled (guard-checked; see tests/_stubs.py), so the stub cannot
+    poison later imports — nothing else can import it."""
+    from _stubs import stub_missing
+
+    stub_missing("config")
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)

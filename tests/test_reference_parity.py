@@ -12,9 +12,12 @@ pytestmark = pytest.mark.slow  # heavy harness: excluded from the fast lane
 
 torch = pytest.importorskip("torch")
 
-# the reference imports optional deps (clip) at module import time
-for _name in ("clip",):
-    sys.modules.setdefault(_name, types.ModuleType(_name))
+# the reference imports optional deps (clip) at module import time; clip is
+# genuinely uninstalled (guard-checked; see tests/_stubs.py), so the stub
+# cannot poison later imports — nothing else can import "clip".
+from _stubs import stub_missing  # noqa: E402
+
+stub_missing("clip")
 sys.path.insert(0, "/root/reference/src")
 
 import jax  # noqa: E402

@@ -19,10 +19,16 @@ torch = pytest.importorskip("torch")
 # pip smplx is not installed).  Force-override: other test modules install
 # a do-nothing smplx stub that breaks the real import chain.
 sys.path.insert(0, "/root/reference/src")
-for _name in ("clip",):
-    sys.modules.setdefault(_name, types.ModuleType(_name))
+# clip is genuinely uninstalled (guard-checked; see tests/_stubs.py).
+from _stubs import stub_missing  # noqa: E402
+
+stub_missing("clip")
 import ladiff.smplx as _vendored_smplx  # noqa: E402
 
+# Force-override (not setdefault): this aliases the reference's REAL vendored
+# smplx code over any empty stub installed earlier (test_transforms.py).  It
+# cannot poison later imports — no pip smplx exists, and the vendored module
+# is the genuine implementation, strictly richer than the stub it replaces.
 sys.modules["smplx"] = _vendored_smplx
 sys.modules["smplx.lbs"] = _vendored_smplx.lbs
 for _mod in ("ladiff.transforms.smpl", "ladiff.transforms.rotation2xyz",

@@ -8,7 +8,13 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-# the reference transforms package imports smplx at package-import time
+# the reference transforms package imports smplx at package-import time.
+# smplx is genuinely uninstalled (guard-checked; see tests/_stubs.py), so
+# these stubs cannot poison later imports; test_rotation2xyz.py deliberately
+# force-overrides them with the reference's real vendored smplx, which is a
+# strict superset of what's stubbed here.
+from _stubs import stub_missing  # noqa: E402
+
 _smplx = types.ModuleType("smplx")
 _smplx.SMPLLayer = object
 _smplx_lbs = types.ModuleType("smplx.lbs")
@@ -16,9 +22,9 @@ _smplx_lbs.vertices2joints = lambda *a: None
 _smplx.lbs = _smplx_lbs
 _smplx_bm = types.ModuleType("smplx.body_models")
 _smplx_bm.SMPLHLayer = object
-sys.modules.setdefault("smplx", _smplx)
-sys.modules.setdefault("smplx.lbs", _smplx_lbs)
-sys.modules.setdefault("smplx.body_models", _smplx_bm)
+stub_missing("smplx", _smplx)
+stub_missing("smplx.lbs", _smplx_lbs)
+stub_missing("smplx.body_models", _smplx_bm)
 sys.path.insert(0, "/root/reference/src")
 
 

@@ -16,8 +16,12 @@ import pytest
 torch = pytest.importorskip("torch")
 
 # --- stub the reference module's dead imports (see module docstring) -------
-for _name in ("clip", "joblib"):
-    sys.modules.setdefault(_name, types.ModuleType(_name))
+# clip is genuinely uninstalled (guard-checked); joblib is REAL and must not
+# be stubbed — an empty joblib stub broke HF transformers' lazy imports for
+# every later test in round 3 (see tests/_stubs.py).
+from _stubs import stub_missing, stub_ref_submodule  # noqa: E402
+
+stub_missing("clip")
 
 
 class _TorchDropPath(torch.nn.Module):  # only built when drop_path > 0
@@ -32,13 +36,13 @@ _maed = types.ModuleType("ladiff.utils.maed_utils")
 _maed.DropPath = _TorchDropPath
 _maed.determine_output_feature_dim = lambda *a, **k: ((7, 7), 2048)
 _maed.load_state_dict = lambda *a, **k: None
-sys.modules.setdefault("ladiff.utils.maed_utils", _maed)
+stub_ref_submodule("ladiff.utils.maed_utils", _maed)
 for _backbone in ("hrnet", "resnetv2", "ghost_nas_network",
                   "ghost_nas_network_tiny"):
     _m = types.ModuleType(f"ladiff.models.architectures.{_backbone}")
     _m.get_hrnet = _m.get_ghostnas = lambda *a, **k: None
     _m.ResNetV2 = object
-    sys.modules.setdefault(f"ladiff.models.architectures.{_backbone}", _m)
+    stub_ref_submodule(f"ladiff.models.architectures.{_backbone}", _m)
 sys.path.insert(0, "/root/reference/src")
 
 import jax  # noqa: E402
