@@ -152,14 +152,36 @@ def main():
                     os.environ[k] = v
         return
 
+    # frozen CLIP text encode (in the headline's timed region since round
+    # 4) — per-scan-step fresh ids so XLA can't hoist the tower out
+    from ladiff_tpu.models.clip_text import CLIPTextTower
+    tower = CLIPTextTower(dtype=dtype)
+    ids_stack = jnp.asarray(np.random.RandomState(1).randint(
+        1, 49407, size=(K, BATCH, 77), dtype=np.int32))
+    tower_params = jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+        tower.init(jax.random.PRNGKey(3), ids_stack[0]))
+
+    @jax.jit
+    def text_many(tp, rng):
+        acc, _ = jax.lax.scan(
+            lambda c, ids: (c + jnp.float32(jnp.sum(tower.apply(tp, ids))),
+                            None),
+            jnp.float32(0.0), ids_stack)
+        return acc
+
     t_sample = timeit(sample_many, params, rng0, iters=2,
                       overhead=overhead) / K
     t_decode = timeit(decode_many, params, rng0, iters=2,
                       overhead=overhead) / K
     t_full = timeit(full_many, params, rng0, iters=2, overhead=overhead) / K
-    for name, t in (("sampler_50steps", t_sample), ("decode", t_decode),
+    t_text = timeit(lambda *_: text_many(tower_params, rng0), None,
+                    iters=2, overhead=overhead) / K
+    for name, t in (("text_encode", t_text),
+                    ("sampler_50steps", t_sample), ("decode", t_decode),
                     ("glue", t_full - t_sample - t_decode),
-                    ("full", t_full)):
+                    ("full_sans_text", t_full),
+                    ("full_with_text", t_full + t_text)):
         print(json.dumps({
             "stage": name, "ms_per_batch": round(t * 1e3, 2),
             "ms_per_step": round(t * 1e3 / STEPS, 3)
