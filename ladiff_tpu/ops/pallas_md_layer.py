@@ -207,8 +207,12 @@ def fused_md_layer(
     """sa/ca_proj/ffn are param dicts (see MDTransformerLayer).
 
     Head layout comes from LADIFF_MD_LAYOUT (resolved here, OUTSIDE the
-    jit, so switching it retraces instead of hitting a stale cache)."""
+    jit, so switching it retraces instead of hitting a stale cache);
+    LADIFF_MD_BLOCK (same trace-time rule) overrides the sample-block
+    size for A/B sweeps."""
+    import os
     D = x.shape[1]
+    block_samples = int(os.environ.get("LADIFF_MD_BLOCK", block_samples))
     layout = _env_layout()
     if layout == "packed" and (128 % (D // H) != 0 or D % 128 != 0):
         layout = "slots"

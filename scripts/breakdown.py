@@ -117,6 +117,33 @@ def main():
                 os.environ["LADIFF_MD_VSLOT"] = prev
         return
 
+    if "--md-block-sweep" in sys.argv:
+        # sampler A/B: MD-layer sample-block size (VMEM-bounded above;
+        # errors reported per config like the decode sweep)
+        prev = os.environ.get("LADIFF_MD_BLOCK")
+        try:
+            for bb in (8, 16, 32, 64, 128):
+                os.environ["LADIFF_MD_BLOCK"] = str(bb)
+                body = lambda p, r: jnp.float32(jnp.sum(
+                    system.diffusion_reverse(
+                        p["denoiser"], text_cond, text_uncond, lengths, r)))
+                try:
+                    t = timeit(scanned(body), params, rng0, iters=2,
+                               overhead=overhead) / K
+                except Exception as e:
+                    print(json.dumps({"stage": f"sampler_mdbb{bb}",
+                                      "error": str(e)[:120]}))
+                    continue
+                print(json.dumps({"stage": f"sampler_mdbb{bb}",
+                                  "ms_per_batch": round(t * 1e3, 2),
+                                  "ms_per_step": round(t * 1e3 / STEPS, 3)}))
+        finally:
+            if prev is None:
+                os.environ.pop("LADIFF_MD_BLOCK", None)
+            else:
+                os.environ["LADIFF_MD_BLOCK"] = prev
+        return
+
     if "--sweep" in sys.argv:
         # decode (block_samples, per_sample_attention) sweep under the
         # scan-amortized protocol (the original per-call sweep was polluted
