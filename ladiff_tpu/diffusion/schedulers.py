@@ -17,7 +17,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DiffusionSchedule", "make_schedule", "ddim_timesteps"]
+__all__ = ["DiffusionSchedule", "make_schedule", "ddim_timesteps",
+           "ddim_solve_eps_x0"]
+
+
+def _expand_like(v: jax.Array, x: jax.Array) -> jax.Array:
+    """Right-pad a per-sample scalar table lookup [B] (or a scalar) with
+    singleton axes so it broadcasts against x [B, ...]."""
+    v = jnp.asarray(v)
+    return v.reshape(v.shape + (1,) * (x.ndim - v.ndim))
 
 
 def _make_betas(num_train_timesteps: int, beta_start: float, beta_end: float,
@@ -62,6 +70,7 @@ class DiffusionSchedule:
 
     def _predict_x0_eps(self, model_output: jax.Array, sample: jax.Array,
                         alpha_prod_t: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        alpha_prod_t = _expand_like(alpha_prod_t, sample)
         beta_prod_t = 1.0 - alpha_prod_t
         if self.prediction_type == "epsilon":
             x0 = (sample - jnp.sqrt(beta_prod_t) * model_output) / jnp.sqrt(alpha_prod_t)
@@ -83,12 +92,14 @@ class DiffusionSchedule:
                   prev_timestep: jax.Array, sample: jax.Array,
                   eta: float = 0.0,
                   noise: Optional[jax.Array] = None) -> jax.Array:
-        """One DDIM update x_t -> x_{t-dt} (diffusers ``DDIMScheduler.step``)."""
-        alpha_prod_t = self.alphas_cumprod[timestep]
-        alpha_prod_prev = jnp.where(
+        """One DDIM update x_t -> x_{t-dt} (diffusers ``DDIMScheduler.step``).
+        ``timestep``/``prev_timestep`` may be scalars (the sampling scan) or
+        per-sample [B] arrays (the distillation step)."""
+        alpha_prod_t = _expand_like(self.alphas_cumprod[timestep], sample)
+        alpha_prod_prev = _expand_like(jnp.where(
             prev_timestep >= 0,
             self.alphas_cumprod[jnp.maximum(prev_timestep, 0)],
-            self.final_alpha_cumprod)
+            self.final_alpha_cumprod), sample)
         x0, eps = self._predict_x0_eps(model_output, sample, alpha_prod_t)
         if eta > 0.0:
             beta_prod_t = 1.0 - alpha_prod_t
@@ -164,6 +175,33 @@ def make_schedule(
         prediction_type=prediction_type,
         clip_sample=clip_sample,
     )
+
+
+def ddim_solve_eps_x0(schedule: DiffusionSchedule, x_t: jax.Array,
+                      x_next: jax.Array, t: jax.Array,
+                      t_next: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Invert one deterministic DDIM jump: given states at two timesteps,
+    recover the unique (x0, eps) pair consistent with BOTH
+
+        x_t    = sqrt(a_t)    x0 + sqrt(1 - a_t)    eps
+        x_next = sqrt(a_next) x0 + sqrt(1 - a_next) eps
+
+    — the progressive-distillation target (Salimans & Ho 2022, eq. 9): the
+    epsilon a ONE-step student must predict at t so its single DDIM jump
+    t -> t_next lands exactly on the teacher's two-step result.
+    ``t``/``t_next`` are per-sample [B] arrays; ``t_next < 0`` selects the
+    schedule's final_alpha_cumprod like ``ddim_step`` does."""
+    a_t = _expand_like(schedule.alphas_cumprod[t], x_t)
+    a_n = _expand_like(jnp.where(
+        t_next >= 0,
+        schedule.alphas_cumprod[jnp.maximum(t_next, 0)],
+        schedule.final_alpha_cumprod), x_t)
+    sa_t, sb_t = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
+    sa_n, sb_n = jnp.sqrt(a_n), jnp.sqrt(1.0 - a_n)
+    det = sa_n * sb_t - sa_t * sb_n  # > 0 whenever a_next > a_t
+    eps = (sa_n * x_t - sa_t * x_next) / det
+    x0 = (sb_t * x_next - sb_n * x_t) / det
+    return x0, eps
 
 
 def ddim_timesteps(num_train_timesteps: int, num_inference_steps: int,

@@ -336,6 +336,55 @@ def run_training(cfg, dm: T2MDataModule, logger,
         state = create_train_state(params, tx)
         step_fn = make_vae_diffusion_train_step(system, mesh, embedder.uncond,
                                                 fsdp=fsdp)
+    elif stage == "distill":
+        # opt-in progressive distillation (training/distill.py, beyond the
+        # reference): teacher = TRAIN.PRETRAINED stage-2 checkpoint (vae +
+        # denoiser); student initialized FROM the teacher; student grid
+        # size TRAIN.DISTILL_STEPS (default: half the configured inference
+        # steps).  Guidance is folded into the student.
+        if is_action:
+            raise ValueError("TRAIN.STAGE=distill supports the text "
+                             "condition only")
+        teacher_src = str(cfg.TRAIN.get("PRETRAINED", "") or "")
+        if not teacher_src:
+            raise ValueError("TRAIN.STAGE=distill needs TRAIN.PRETRAINED "
+                             "(the stage-2 teacher checkpoint)")
+        if teacher_src.endswith(".ckpt"):
+            from ladiff_tpu.utils.checkpoint import (
+                load_reference_denoiser_checkpoint,
+                load_reference_vae_checkpoint)
+            vae_params = jax.tree.map(
+                jnp.asarray,
+                load_reference_vae_checkpoint(teacher_src,
+                                              system.num_layers))
+            teacher_den = jax.tree.map(
+                jnp.asarray,
+                load_reference_denoiser_checkpoint(
+                    teacher_src, system.num_layers,
+                    md_trans=system.md_trans))
+            logger.info(f"loaded reference teacher ckpt from {teacher_src}")
+        else:
+            found = latest_checkpoint(teacher_src)
+            if found is None:
+                raise FileNotFoundError(
+                    f"TRAIN.PRETRAINED has no checkpoints: {teacher_src}")
+            _, tree = CheckpointManager(teacher_src).restore(
+                found[0], {"params": params, "epoch": 0})
+            vae_params = tree["params"]["vae"]
+            teacher_den = tree["params"]["denoiser"]
+            logger.info(f"loaded teacher epoch {found[0]} from {teacher_src}")
+        if text_encoder is None:
+            from ladiff_tpu.models.clip_text import ClipTextEncoder
+            text_encoder = ClipTextEncoder(
+                modelpath=str(cfg.model.get("clip_path", "") or "") or None)
+        embedder = CaptionEmbedder(text_encoder)
+        student_steps = int(cfg.TRAIN.get(
+            "DISTILL_STEPS", max(1, system.num_inference_timesteps // 2)))
+        state = create_train_state(teacher_den, tx)  # student := teacher
+        from ladiff_tpu.training.distill import make_distill_train_step
+        step_fn = make_distill_train_step(system, mesh, vae_params,
+                                          teacher_den, embedder.uncond,
+                                          student_steps, fsdp=fsdp)
     else:
         raise ValueError(f"unsupported stage {stage}")
 
@@ -406,7 +455,7 @@ def run_training(cfg, dm: T2MDataModule, logger,
         }
         if stop is not None and stop.is_set():
             return None
-        if stage in ("diffusion", "vae_diffusion"):
+        if stage in ("diffusion", "vae_diffusion", "distill"):
             if is_action:
                 device_batch["action"] = np.ascontiguousarray(batch["action"])
             else:

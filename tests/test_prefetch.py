@@ -58,6 +58,36 @@ def test_prefetcher_close_midstream_does_not_deadlock():
     assert not pf._thread.is_alive()
 
 
+def test_prefetcher_stop_aware_prepare_exits_promptly():
+    """A prepare(item, stop) signature opts into mid-pipeline stop checks:
+    close() must not wait out a slow stage (advisor finding, round 3)."""
+    stages_entered = []
+
+    def prep(x, stop):
+        stages_entered.append(x)
+        # simulate a slow multi-stage pipeline that polls the stop event
+        for _ in range(100):
+            if stop.is_set():
+                return None
+            time.sleep(0.02)
+        return x
+
+    pf = HostPrefetcher(iter(range(100)), prep, depth=1)
+    assert pf._pass_stop
+    time.sleep(0.1)  # let the producer enter prep(0)
+    t0 = time.time()
+    pf.close()
+    assert time.time() - t0 < 1.0  # far below the 2 s the stage would take
+    assert not pf._thread.is_alive()
+    assert stages_entered[0] == 0
+
+
+def test_prefetcher_one_arg_prepare_still_works():
+    pf = HostPrefetcher(iter(range(5)), lambda x: x + 1, depth=2)
+    assert not pf._pass_stop
+    assert list(pf) == [1, 2, 3, 4, 5]
+
+
 def _train_vae(tmp_path, name: str, prefetch: int):
     from ladiff_tpu.config import assemble_config
     from ladiff_tpu.data.datamodule import T2MDataModule
