@@ -758,3 +758,19 @@ def test_decode_block_default_fits_vmem_per_dtype():
     assert decode_block_default(jnp.bfloat16) == 8
     assert decode_block_default(jnp.float32) == 4
     assert decode_block_default(jnp.float64) == 2
+
+
+def test_md_env_layout_legacy_vslot(monkeypatch):
+    """LADIFF_MD_VSLOT keeps its original meaning when explicitly set
+    (1 = slots, 0 = masked; advisor finding, round 3); unset -> packed,
+    and LADIFF_MD_LAYOUT wins when present."""
+    from ladiff_tpu.ops.pallas_md_layer import _env_layout
+    monkeypatch.delenv("LADIFF_MD_LAYOUT", raising=False)
+    monkeypatch.delenv("LADIFF_MD_VSLOT", raising=False)
+    assert _env_layout() == "packed"
+    monkeypatch.setenv("LADIFF_MD_VSLOT", "1")
+    assert _env_layout() == "slots"
+    monkeypatch.setenv("LADIFF_MD_VSLOT", "0")
+    assert _env_layout() == "masked"
+    monkeypatch.setenv("LADIFF_MD_LAYOUT", "packed")
+    assert _env_layout() == "packed"  # explicit layout overrides legacy
