@@ -3,12 +3,21 @@
 Protocol (BASELINE.md north star): batch-256 classifier-free-guided DDIM-50
 generation of 196-frame HumanML3D motions (263 feats) at the published model
 scale (9-layer MD-trans denoiser, 9-layer LA-VAE decode, d=256), on one TPU
-chip.  The whole pipeline — frozen CLIP ViT-L/14 text encode (77 tokens,
-fresh ids per batch so XLA cannot hoist it out of the loop) + 50 denoiser
-evaluations with CFG batch doubling + VAE decode — runs as a single jitted
-program with zero host sync.  The one cached piece is the unconditional
-CFG embedding: it is a constant of the model (the empty-prompt encode), so
-any real serving loop computes it once at startup.
+chip.  The whole pipeline — frozen CLIP ViT-L/14 text encode (fresh ids per
+batch so XLA cannot hoist it out of the loop) + 50 denoiser evaluations with
+CFG batch doubling + VAE decode — runs as a single jitted program with zero
+host sync.  The one cached piece is the unconditional CFG embedding: it is a
+constant of the model (the empty-prompt encode), so any real serving loop
+computes it once at startup.
+
+Text length: captions ride the production length-bucketed encode (32-token
+bucket; caption BPE lengths drawn 8-28, the HumanML3D regime — the datasets
+cap text at 22 GloVe tokens for the evaluators).  The reference pads every
+caption to the full 77-token context (mld_clip.py:53-60) and pays the full
+tower; with causal attention + EOT pooling the pooled features are
+mathematically identical (bit-exact on TPU — tests/test_clip.py), so the
+bucket is a pure framework win, not a protocol cut.  The 77-pad figure is
+still printed on stderr for series continuity.
 
 Baseline: the reference repo publishes no numbers (BASELINE.json
 ``published: {}``).  The closest published figure for this architecture
@@ -113,19 +122,32 @@ def main():
 
     # per-batch fresh token ids: loop-VARIANT text inputs, so the text
     # forward stays inside the measured scan body
-    ids_stack = jnp.asarray(np.random.RandomState(2).randint(
+    ids_stack77 = jnp.asarray(np.random.RandomState(2).randint(
         1, 49407, size=(SCAN_BATCHES, BATCH, 77), dtype=np.int32))
-    ids = jnp.asarray(ids0)
+    # realistic captions at the production 32-token bucket: SOT + body +
+    # EOT (the max id, so argmax pooling picks it), zero padding after
+    rs = np.random.RandomState(4)
+    ids32 = np.zeros((SCAN_BATCHES, BATCH, 32), np.int32)
+    for b in range(SCAN_BATCHES):
+        for s in range(BATCH):
+            n = rs.randint(8, 29)
+            ids32[b, s, 0] = 49406
+            ids32[b, s, 1:1 + n] = rs.randint(1, 49405, size=n)
+            ids32[b, s, 1 + n] = 49407
+    ids_stack32 = jnp.asarray(ids32)
+    ids = jnp.asarray(ids32[0])
     text_uncond = jnp.zeros((BATCH, 1, 768), jnp.float32)
     lengths = jnp.full((BATCH,), FRAMES, jnp.int32)
 
     text_cond0 = jnp.asarray(
         np.random.RandomState(0).randn(BATCH, 1, 768).astype(np.float32))
 
-    # compile + warmup
+    # compile + warmup (run_many compiles once per token width: 32 and 77)
     np.asarray(run(params, tower_params, ids, text_uncond, lengths,
                    jax.random.PRNGKey(1)))
-    np.asarray(run_many(params, tower_params, ids_stack, text_uncond,
+    np.asarray(run_many(params, tower_params, ids_stack32, text_uncond,
+                        lengths, jax.random.PRNGKey(1)))
+    np.asarray(run_many(params, tower_params, ids_stack77, text_uncond,
                         lengths, jax.random.PRNGKey(1)))
     np.asarray(run_many_sans_text(params, text_cond0, text_uncond, lengths,
                                   jax.random.PRNGKey(1)))
@@ -136,7 +158,8 @@ def main():
     # by 20-30%.  Interleave run/no-op timings and take best-of-N for
     # both: the minima see the same (least-loaded) pool state.
     iters = 4
-    run_times, many_times, sans_times, noop_times = [], [], [], []
+    run_times, many_times, pad77_times, sans_times, noop_times = \
+        [], [], [], [], []
     for i in range(iters):
         t0 = time.perf_counter()
         np.asarray(noop(jax.random.PRNGKey(i)))
@@ -146,29 +169,37 @@ def main():
                        jax.random.PRNGKey(2 + i)))
         run_times.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(run_many(params, tower_params, ids_stack, text_uncond,
+        np.asarray(run_many(params, tower_params, ids_stack32, text_uncond,
                             lengths, jax.random.PRNGKey(20 + i)))
         many_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(run_many(params, tower_params, ids_stack77, text_uncond,
+                            lengths, jax.random.PRNGKey(30 + i)))
+        pad77_times.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         np.asarray(run_many_sans_text(params, text_cond0, text_uncond,
                                       lengths, jax.random.PRNGKey(40 + i)))
         sans_times.append(time.perf_counter() - t0)
     dt_single = min(run_times) - min(noop_times)
     dt = (min(many_times) - min(noop_times)) / SCAN_BATCHES
+    dt_pad77 = (min(pad77_times) - min(noop_times)) / SCAN_BATCHES
     dt_sans = (min(sans_times) - min(noop_times)) / SCAN_BATCHES
-    assert dt > 0 and dt_single > 0 and dt_sans > 0
+    assert dt > 0 and dt_single > 0 and dt_pad77 > 0 and dt_sans > 0
 
     samples_per_sec = BATCH / dt
     import sys
     print(f"# single-batch (per-call dispatch included): "
           f"{BATCH / dt_single:.0f} samples/s", file=sys.stderr)
+    print(f"# 77-pad text protocol (early-round-4 comparable): "
+          f"{BATCH / dt_pad77:.0f} samples/s", file=sys.stderr)
     print(f"# sans-text protocol (rounds 1-3 comparable): "
           f"{BATCH / dt_sans:.0f} samples/s", file=sys.stderr)
     print(json.dumps({
         "metric": "ddim50_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 2),
-        "unit": "samples/s (batch 256, 196 frames, CLIP text encode + CFG "
-                "DDIM-50 + decode, steady-state over 8 batches)",
+        "unit": "samples/s (batch 256, 196 frames, bucketed CLIP text "
+                "encode + CFG DDIM-50 + decode, steady-state over 8 "
+                "batches)",
         "vs_baseline": round(samples_per_sec / REF_SAMPLES_PER_SEC, 2),
     }))
 

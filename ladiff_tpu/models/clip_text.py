@@ -238,11 +238,27 @@ def _bytes_to_unicode():
 # ---------------------------------------------------------------------------
 
 class ClipTextEncoder:
-    """texts -> [B, 1, 768] pooled features (reference MldTextEncoder)."""
+    """texts -> [B, 1, 768] pooled features (reference MldTextEncoder).
+
+    Length-bucketed context (pooled mode only): the reference always pads
+    captions to the full 77-token context (``padding="max_length"``,
+    /root/reference/src/ladiff/models/architectures/mld_clip.py:53-60) and
+    pays the 77-token tower for every sentence.  With causal attention the
+    EOT position attends only to positions <= EOT, and the masked softmax
+    terms underflow to exactly zero, so the pooled/projected feature is
+    mathematically invariant to truncating trailing padding — measured
+    bit-exact on TPU, ~1e-7 reduction-order rounding on CPU
+    (tests/test_clip.py::test_pooled_invariant_to_trailing_padding).  The
+    batch is therefore run at the smallest bucket width covering its
+    longest caption — typical HumanML3D captions (~15 BPE tokens) ride the
+    32 bucket at ~1/3 the tower FLOPs and ~1/6 the attention-score work.
+    ``last_hidden_state`` mode keeps the full context: downstream consumers
+    attend over ALL hidden positions, so truncation would change outputs.
+    """
 
     def __init__(self, modelpath: Optional[str] = None,
                  last_hidden_state: bool = False, dtype=jnp.float32,
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, buckets=(16, 32, 77)):
         self.tower = CLIPTextTower(dtype=dtype)
         self.last_hidden_state = last_hidden_state
         self.text_encoded_dim = 768
@@ -250,6 +266,9 @@ class ClipTextEncoder:
             self.tokenizer = BPETokenizer(modelpath)
         else:
             self.tokenizer = HashTokenizer()
+        full = self.tokenizer.context_length
+        self.buckets = tuple(sorted({int(b) for b in buckets
+                                     if 0 < int(b) <= full} | {full}))
         self.params = None
         if modelpath:
             self.params = load_torch_clip_state(modelpath, self.tower)
@@ -267,9 +286,18 @@ class ClipTextEncoder:
             return out
         return out[:, None, :]
 
+    def bucket_ids(self, ids: np.ndarray) -> np.ndarray:
+        """Truncate 77-padded ids to the smallest bucket covering the
+        batch's longest caption (EOT = the max id, first occurrence)."""
+        need = int(ids.argmax(axis=-1).max()) + 1
+        width = next(b for b in self.buckets if b >= need)
+        return ids[:, :width]
+
     def __call__(self, texts: List[str]) -> jax.Array:
-        ids = jnp.asarray(self.tokenizer(texts))
-        return self.encode_ids(ids)
+        ids = np.asarray(self.tokenizer(texts))
+        if not self.last_hidden_state:
+            ids = self.bucket_ids(ids)
+        return self.encode_ids(jnp.asarray(ids))
 
 
 def load_torch_clip_state(modelpath: str, tower: CLIPTextTower):

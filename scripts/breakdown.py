@@ -144,6 +144,54 @@ def main():
                 os.environ["LADIFF_MD_BLOCK"] = prev
         return
 
+    if "--distill-sweep" in sys.argv:
+        # distilled serving path: few-step student with guidance folded in
+        # (no CFG batch doubling), plus the bucketed text encode — the
+        # end-to-end protocol of the headline.  Throughput is
+        # weight-independent, so random weights; QUALITY of a distilled
+        # student is gated on the released checkpoints (verify_release.py).
+        from ladiff_tpu.models.clip_text import CLIPTextTower
+        from ladiff_tpu.models.ladiff import LADiffSystem as _Sys
+        tower = CLIPTextTower(dtype=dtype)
+        ids32 = jnp.asarray(np.random.RandomState(1).randint(
+            1, 49405, size=(K, BATCH, 32), dtype=np.int32))
+        tower_params = jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+            tower.init(jax.random.PRNGKey(3), ids32[0]))
+
+        @jax.jit
+        def text32(tp, rng):
+            acc, _ = jax.lax.scan(
+                lambda c, ids: (c + jnp.float32(jnp.sum(tower.apply(tp, ids))),
+                                None), jnp.float32(0.0), ids32)
+            return acc
+
+        t_text = timeit(lambda *_: text32(tower_params, rng0), None,
+                        iters=2, overhead=overhead) / K
+        print(json.dumps({"stage": "text_encode_bucket32",
+                          "ms_per_batch": round(t_text * 1e3, 2)}))
+        for steps in (25, 10, 5):
+            stu = _Sys(
+                nfeats=nfeats, njoints=njoints, max_frames=FRAMES,
+                latent_dim=(7, 256), ff_size=1024, num_layers=9, num_heads=4,
+                dropout=0.1, text_encoded_dim=768,
+                num_inference_timesteps=steps, guidance_scale=1.0,
+                mean=np.zeros(nfeats, np.float32),
+                std=np.ones(nfeats, np.float32), dtype=dtype)
+            sp = jax.tree.map(
+                lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+                stu.init_params(jax.random.PRNGKey(0)))
+            body = lambda p, r: jnp.float32(jnp.sum(stu.generate(
+                p, text_cond, text_uncond, lengths, r, nframes=FRAMES)[0]))
+            t = timeit(scanned(body), sp, rng0, iters=2,
+                       overhead=overhead) / K
+            total = t + t_text
+            print(json.dumps({
+                "stage": f"distilled_{steps}step_plus_text32",
+                "ms_per_batch": round(total * 1e3, 2),
+                "samples_per_sec": round(BATCH / total, 1)}))
+        return
+
     if "--sweep" in sys.argv:
         # decode (block_samples, per_sample_attention) sweep under the
         # scan-amortized protocol (the original per-call sweep was polluted
@@ -180,7 +228,9 @@ def main():
         return
 
     # frozen CLIP text encode (in the headline's timed region since round
-    # 4) — per-scan-step fresh ids so XLA can't hoist the tower out
+    # 4) — per-scan-step fresh ids so XLA can't hoist the tower out.
+    # Measured at BOTH the reference's 77-pad width and the production
+    # 32-token bucket (pooled features identical — clip_text.py docstring).
     from ladiff_tpu.models.clip_text import CLIPTextTower
     tower = CLIPTextTower(dtype=dtype)
     ids_stack = jnp.asarray(np.random.RandomState(1).randint(
@@ -189,26 +239,36 @@ def main():
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
         tower.init(jax.random.PRNGKey(3), ids_stack[0]))
 
-    @jax.jit
-    def text_many(tp, rng):
-        acc, _ = jax.lax.scan(
-            lambda c, ids: (c + jnp.float32(jnp.sum(tower.apply(tp, ids))),
-                            None),
-            jnp.float32(0.0), ids_stack)
-        return acc
+    def text_many_at(width):
+        stack = ids_stack[:, :, :width]
+
+        @jax.jit
+        def text_many(tp, rng):
+            acc, _ = jax.lax.scan(
+                lambda c, ids: (c + jnp.float32(jnp.sum(tower.apply(tp, ids))),
+                                None),
+                jnp.float32(0.0), stack)
+            return acc
+        return text_many
 
     t_sample = timeit(sample_many, params, rng0, iters=2,
                       overhead=overhead) / K
     t_decode = timeit(decode_many, params, rng0, iters=2,
                       overhead=overhead) / K
     t_full = timeit(full_many, params, rng0, iters=2, overhead=overhead) / K
-    t_text = timeit(lambda *_: text_many(tower_params, rng0), None,
+    text77 = text_many_at(77)
+    text32 = text_many_at(32)
+    t_text = timeit(lambda *_: text77(tower_params, rng0), None,
                     iters=2, overhead=overhead) / K
-    for name, t in (("text_encode", t_text),
+    t_text32 = timeit(lambda *_: text32(tower_params, rng0), None,
+                      iters=2, overhead=overhead) / K
+    for name, t in (("text_encode_77pad", t_text),
+                    ("text_encode_bucket32", t_text32),
                     ("sampler_50steps", t_sample), ("decode", t_decode),
                     ("glue", t_full - t_sample - t_decode),
                     ("full_sans_text", t_full),
-                    ("full_with_text", t_full + t_text)):
+                    ("full_with_text_77pad", t_full + t_text),
+                    ("full_with_text_bucket32", t_full + t_text32)):
         print(json.dumps({
             "stage": name, "ms_per_batch": round(t * 1e3, 2),
             "ms_per_step": round(t * 1e3 / STEPS, 3)

@@ -62,6 +62,52 @@ def test_clip_encoder_wrapper_shapes():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
+def test_pooled_invariant_to_trailing_padding():
+    """The basis of the length-bucketed text encode: causal attention + EOT
+    pooling make the pooled/projected feature invariant to truncating
+    trailing padding (the reference always pads to 77, mld_clip.py:53-60,
+    and pays the full tower).  Exact up to GEMM reduction-order rounding:
+    measured bit-exact on TPU, ~1e-7 abs on CPU (different sequence
+    lengths tile the reductions differently)."""
+    tower = CLIPTextTower(vocab_size=120, width=64, num_layers=3, heads=4,
+                          projection_dim=48)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 110, (4, 77)).astype(np.int32)
+    ids[:, 0] = 118
+    eots = [5, 9, 13, 2]
+    for row, e in enumerate(eots):
+        ids[row, e] = 119
+        ids[row, e + 1:] = 0
+    params = tower.init(jax.random.PRNGKey(1), jnp.asarray(ids))["params"]
+    full = np.asarray(tower.apply({"params": params}, jnp.asarray(ids)))
+    for width in (14, 32, 77):  # anything > max EOT position
+        short = np.asarray(tower.apply({"params": params},
+                                       jnp.asarray(ids[:, :width])))
+        np.testing.assert_allclose(short, full, atol=1e-6)
+
+
+def test_encoder_bucketing_matches_full_context():
+    enc = ClipTextEncoder(modelpath=None)
+    texts = ["a person walks forward", "someone jumps high"]
+    ids_full = np.asarray(enc.tokenizer(texts))
+    assert ids_full.shape[1] == 77
+    # short captions ride the smallest bucket
+    assert enc.bucket_ids(ids_full).shape[1] == enc.buckets[0]
+    got = np.asarray(enc(texts))
+    want = np.asarray(enc.encode_ids(jnp.asarray(ids_full)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # a caption spilling past the last non-full bucket falls back to 77
+    long = ["word " * 60]
+    ids_long = np.asarray(enc.tokenizer(long))
+    assert enc.bucket_ids(ids_long).shape[1] == 77
+
+
+def test_encoder_hidden_mode_keeps_full_context():
+    enc = ClipTextEncoder(modelpath=None, last_hidden_state=True)
+    out = enc(["short"])
+    assert out.shape == (1, 77, 768)
+
+
 def test_hash_tokenizer_stable():
     tok = HashTokenizer()
     a = tok(["a person walks"])
