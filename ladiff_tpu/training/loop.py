@@ -204,6 +204,21 @@ class CaptionEmbedder:
         return self([""])[0][None]  # [1, 1, 768]
 
 
+def _ram_pct() -> Optional[float]:
+    """Host RAM usage in percent, dependency-free (/proc/meminfo) — the
+    per-epoch RAM readout of the reference's ProgressLogger
+    (callback/progress.py:30-54, psutil there)."""
+    try:
+        info = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                info[k] = int(v.strip().split()[0])
+        return 100.0 * (1.0 - info["MemAvailable"] / info["MemTotal"])
+    except Exception:  # non-Linux host: skip the readout
+        return None
+
+
 def build_system(cfg, dm: T2MDataModule, dtype=None) -> LADiffSystem:
     """TRAIN.MIXED_PRECISION switches the compute dtype to bfloat16 while
     params/optimizer state stay float32 (losses reduce in f32 — see
@@ -511,11 +526,13 @@ def run_training(cfg, dm: T2MDataModule, logger,
                 mean_logs = {k: float(np.mean([l[k] for l in host_losses]))
                              for k in losses[0]}
                 dt = time.time() - t0
+                ram = _ram_pct()
                 logger.info(
                     f"epoch {epoch} [{stage}] "
                     + " ".join(f"{k}={v:.5f}"
                                for k, v in sorted(mean_logs.items()))
-                    + f" ({dt:.1f}s)")
+                    + f" ({dt:.1f}s"
+                    + (f", RAM {ram:.0f}%)" if ram is not None else ")"))
                 metrics_sink.log(epoch, mean_logs, prefix=f"train/{stage}/")
             if (epoch + 1) % save_every == 0 or (epoch + 1) == end_epoch:
                 path = save(epoch + 1)
