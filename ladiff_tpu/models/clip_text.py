@@ -149,15 +149,22 @@ class BPETokenizer:
 
     def __init__(self, vocab_dir: str, context_length: int = 77):
         import json
-        import re
 
         self.context_length = context_length
-        self._re = re.compile(
-            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-            r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-            if False else
-            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-            r"|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+")
+        try:
+            # CLIP's exact pattern needs unicode classes (\p{L}/\p{N}),
+            # which the stdlib re lacks; the regex module ships with HF
+            # transformers (parity vs CLIPTokenizer pinned in
+            # tests/test_clip.py::test_bpe_matches_hf_clip_tokenizer)
+            import regex as re_mod
+            self._re = re_mod.compile(
+                r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+                r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+", re_mod.IGNORECASE)
+        except ImportError:  # ASCII approximation (fine for HumanML3D/KIT)
+            import re as re_mod
+            self._re = re_mod.compile(
+                r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+                r"|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+", re_mod.IGNORECASE)
         vocab_json = os.path.join(vocab_dir, "vocab.json")
         merges_txt = os.path.join(vocab_dir, "merges.txt")
         with open(vocab_json) as f:

@@ -108,6 +108,44 @@ def test_encoder_hidden_mode_keeps_full_context():
     assert out.shape == (1, 77, 768)
 
 
+def test_bpe_matches_hf_clip_tokenizer(tmp_path):
+    """Direct parity of the local BPE implementation against HF's
+    CLIPTokenizer, both built from the same tiny vocab/merges — covers the
+    regex splitting (incl. unicode letters + contractions via the `regex`
+    module), byte-encoding, and the merge loop."""
+    import json
+
+    transformers = pytest.importorskip("transformers")
+    from ladiff_tpu.models.clip_text import BPETokenizer, _bytes_to_unicode
+
+    chars = list(_bytes_to_unicode().values())
+    vocab = {}
+    for ch in chars:
+        vocab[ch] = len(vocab)
+    for ch in chars:
+        vocab[ch + "</w>"] = len(vocab)
+    merge_pairs = [("h", "e"), ("he", "l"), ("hel", "l"), ("hell", "o</w>"),
+                   ("w", "a"), ("wa", "l"), ("wal", "k"), ("walk", "s</w>"),
+                   ("1", "2")]
+    for a, b in merge_pairs:
+        vocab.setdefault(a + b, len(vocab))
+    for special in ("<|startoftext|>", "<|endoftext|>"):
+        vocab[special] = len(vocab)
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merge_pairs))
+
+    ours = BPETokenizer(str(tmp_path))
+    hf = transformers.CLIPTokenizer(str(tmp_path / "vocab.json"),
+                                    str(tmp_path / "merges.txt"))
+    texts = ["hello walks", "a person's hello, walks!!",
+             "Hello   WALKS 12 3", "héllo walks 123"]
+    for t in texts:
+        want = hf(t).input_ids[1:-1]  # strip bos/eos
+        got = ours.encode(t)
+        assert got == want, (t, got, want)
+
+
 def test_hash_tokenizer_stable():
     tok = HashTokenizer()
     a = tok(["a person walks"])
