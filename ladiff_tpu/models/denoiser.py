@@ -165,6 +165,18 @@ class LADenoiser(nn.Module):
             text_emb_latent.astype(self.dtype),
             time_table.astype(self.dtype))
 
+    def precompute_md_stack(self):
+        """Stacked-[L] layer params for the whole-stack fused sampling
+        kernel (ops/pallas_md_stack), computed once outside the scan."""
+        assert self.md_trans
+        return self.encoder.stacked_params()
+
+    def stack_md_prep(self, prep_all):
+        """Re-layout precompute_md_prep's output for the whole-stack
+        kernel: values [L, B, D] + AdaLN tables [S, L, 2D]."""
+        assert self.md_trans
+        return self.encoder.stack_prep(prep_all)
+
     def embed_action(self, action_ids: jax.Array,
                      force_mask: bool = False) -> jax.Array:
         """[B] class ids -> [B, 1, D] conditioning tokens; force_mask gives

@@ -454,16 +454,32 @@ class LADiffSystem:
         # hoist the fused MD path's per-layer prep out of the scan as well:
         # per-layer ca text values (step-invariant) + AdaLN scale/shift rows
         # for every step (all samples share a step's time embedding)
-        md_values = md_tables = None
+        md_values = md_tables = md_stack = None
         if getattr(denoiser, "md_trans", False) and text_cond_l.shape[1] == 1:
             text_for_batch = (jnp.concatenate([text_uncond_l, text_cond_l], 0)
                               if self.guidance_scale > 1.0 else text_cond_l)
             prep_all = denoiser.apply(
                 {"params": den_params}, text_for_batch, time_table,
                 method=denoiser.precompute_md_prep)
-            md_values = {k: v["value"] for k, v in prep_all.items()}
-            md_tables = {k: {"ca_ss": v["ca_ss"], "ffn_ss": v["ffn_ss"]}
-                         for k, v in prep_all.items()}
+            from ladiff_tpu.ops.stylization import md_stack_enabled
+            if md_stack_enabled(denoiser.d_model, denoiser.ff_size,
+                                denoiser.num_heads):
+                # whole-stack kernel path: stacked params + values hoisted
+                # here (step-invariant); AdaLN tables [S, L, 2D] scanned
+                values_s, ca_t, ffn_t = denoiser.apply(
+                    {"params": den_params}, prep_all,
+                    method=denoiser.stack_md_prep)
+                md_stack = {
+                    "params": denoiser.apply(
+                        {"params": den_params},
+                        method=denoiser.precompute_md_stack),
+                    "values": values_s,
+                }
+                md_tables = {"ca_ss": ca_t, "ffn_ss": ffn_t}
+            else:
+                md_values = {k: v["value"] for k, v in prep_all.items()}
+                md_tables = {k: {"ca_ss": v["ca_ss"], "ffn_ss": v["ffn_ss"]}
+                             for k, v in prep_all.items()}
 
         def denoise(latents, t, text, valid, aux):
             time_row, md_rows = aux
@@ -473,7 +489,9 @@ class LADiffSystem:
             if fv is not None and latents.shape[0] != fv.shape[0]:
                 fv = jnp.concatenate([fv, fv], axis=0)  # CFG doubling
             md_prep = None
-            if md_rows is not None:
+            if md_rows is not None and md_stack is not None:
+                md_prep = {"stack": {**md_stack, **md_rows}}
+            elif md_rows is not None:
                 md_prep = {k: {"value": md_values[k], **md_rows[k]}
                            for k in md_rows}
             return denoiser.apply(

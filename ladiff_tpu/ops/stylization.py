@@ -29,9 +29,30 @@ __all__ = [
     "StylizedFFN",
     "MDTransformerLayer",
     "MDSkipTransformerEncoder",
+    "md_stack_enabled",
 ]
 
 zero_init = nn.initializers.zeros_init()
+
+
+def md_stack_enabled(d_model: int, ffn_dim: int, num_heads: int) -> bool:
+    """Gate for the whole-stack fused sampling kernel (pallas_md_stack):
+    OPT-IN via LADIFF_MD_STACK=1, plus TPU + packed head layout +
+    128-aligned dims.  Off by default: the same-session TPU A/B measured
+    the whole-stack kernel SLOWER than the per-layer kernels it replaces
+    (3204.8 vs 3482.2 samples/s headline; see PERF.md "whole-stack
+    sampling kernel") — XLA's scan-level overlap across per-layer kernel
+    calls beats the single grid's serialized layer loop.  Callers also
+    require the sampling fast path (per-step prep with step-shared AdaLN
+    rows and a single pooled text token)."""
+    import os
+    from ladiff_tpu.ops.pallas_md_layer import _env_layout
+    if os.environ.get("LADIFF_MD_STACK", "0") != "1":
+        return False
+    return (pallas_enabled()
+            and _env_layout() == "packed"
+            and d_model % 128 == 0 and ffn_dim % 128 == 0
+            and 128 % (d_model // num_heads) == 0)
 
 
 class StylizationBlock(nn.Module):
@@ -403,6 +424,56 @@ class MDSkipTransformerEncoder(nn.Module):
         return {name: block.compute_prep(xf, embs)
                 for _, _, name, block in self._ordered_blocks()}
 
+    def stacked_params(self):
+        """Layer params stacked on a leading [L] axis for the whole-stack
+        fused sampling kernel (pallas_md_stack), computed ONCE outside the
+        sampling scan and closed over by the scan body."""
+        from ladiff_tpu.ops.pallas_md_stack import stack_md_params
+        layers = [(b.sa_block.variables["params"],
+                   b.ca_block.variables["params"]["proj_out"],
+                   b.ffn.variables["params"])
+                  for _, _, _, b in self._ordered_blocks()]
+        linears = [lin.variables["params"] for lin in self.linear_blocks]
+        return stack_md_params(layers, linears,
+                               self.norm.variables["params"], self.dtype)
+
+    def stack_prep(self, prep_all):
+        """Re-layout precompute_prep's per-layer dict into stacked arrays
+        for the whole-stack kernel: values [L, B, D] (step-invariant) and
+        AdaLN tables [S, L, 2D] (sliced to [L, 2D] per scan step)."""
+        names = [name for _, _, name, _ in self._ordered_blocks()]
+        values = jnp.stack([prep_all[n]["value"] for n in names])
+        ca_ss = jnp.stack([prep_all[n]["ca_ss"] for n in names], axis=1)
+        ffn_ss = jnp.stack([prep_all[n]["ffn_ss"] for n in names], axis=1)
+        return values, ca_ss, ffn_ss
+
+    def _unstack_prep(self, stack):
+        """Defensive inverse of stack_prep + stacked per-step rows -> the
+        per-layer prep dict, for traces where the stack prep was built but
+        the kernel gate turns out false (e.g. CPU fallback)."""
+        names = [name for _, _, name, _ in self._ordered_blocks()]
+        return {n: {"value": stack["values"][i],
+                    "ca_ss": stack["ca_ss"][i],
+                    "ffn_ss": stack["ffn_ss"][i]}
+                for i, n in enumerate(names)}
+
+    def _fused_stack(self, x, xf, emb, latent_valid, stack):
+        """Whole stack (layers + skips + final LN) as ONE pallas kernel —
+        the sampling scan body's fast path (see pallas_md_stack)."""
+        from ladiff_tpu.ops.pallas_md_stack import fused_md_stack
+        B, T, D = x.shape
+        extra = jnp.concatenate([xf, emb[:, None, :]], axis=1)
+        extra_rows = extra.reshape(B * 2, D).astype(self.dtype)
+        if latent_valid is not None:
+            kvalid = latent_valid.reshape(B * T, 1).astype(jnp.float32)
+        else:
+            kvalid = jnp.ones((B * T, 1), jnp.float32)
+        out = fused_md_stack(
+            x.reshape(B * T, D).astype(self.dtype), extra_rows, kvalid,
+            stack["values"], stack["ca_ss"], stack["ffn_ss"],
+            stack["params"], T=T, E=2, H=self.num_heads)
+        return out.reshape(B, T, D)
+
     def __call__(
         self,
         x: jax.Array,
@@ -414,8 +485,19 @@ class MDSkipTransformerEncoder(nn.Module):
     ) -> jax.Array:
         """prep: optional per-step slice of precompute_prep's output
         ({layer: {"value" [B, D], "ca_ss"/"ffn_ss" [2D]}}) — sampling-scan
-        fast path; the text/time k/v rows are also shared across layers."""
+        fast path; the text/time k/v rows are also shared across layers.
+        A prep dict carrying "stack" (stacked params + values + per-step
+        [L, 2D] AdaLN rows, see diffusion_reverse) routes the whole stack
+        through ONE pallas kernel when the gate holds."""
         B = x.shape[0]
+        if prep is not None and "stack" in prep:
+            stack = prep["stack"]
+            if (deterministic and not self.is_initializing()
+                    and xf.shape[1] == 1
+                    and md_stack_enabled(self.d_model, self.ffn_dim,
+                                         self.num_heads)):
+                return self._fused_stack(x, xf, emb, latent_valid, stack)
+            prep = self._unstack_prep(stack)
         extra_rows = None
         if prep is not None:
             extra = jnp.concatenate([xf, emb[:, None, :]], axis=1)
