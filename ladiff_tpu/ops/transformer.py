@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from ladiff_tpu.ops.attention import MultiHeadAttention
 from ladiff_tpu.ops.pallas_common import pallas_enabled
+from ladiff_tpu.ops.sp_hook import constrain_seq
 
 __all__ = [
     "TransformerEncoderLayer",
@@ -537,15 +538,18 @@ class SkipTransformerEncoder(nn.Module):
         pos: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        x = src
+        x = constrain_seq(src)
         xs = []
         for block in self.input_blocks:
-            x = block(x, key_valid, pos, deterministic=deterministic)
+            x = constrain_seq(
+                block(x, key_valid, pos, deterministic=deterministic))
             xs.append(x)
-        x = self.middle_block(x, key_valid, pos, deterministic=deterministic)
+        x = constrain_seq(
+            self.middle_block(x, key_valid, pos, deterministic=deterministic))
         for block, linear in zip(self.output_blocks, self.linear_blocks):
             x = linear(jnp.concatenate([x, xs.pop()], axis=-1))
-            x = block(x, key_valid, pos, deterministic=deterministic)
+            x = constrain_seq(
+                block(x, key_valid, pos, deterministic=deterministic))
         return self.norm(x)
 
 
@@ -602,13 +606,14 @@ class SkipTransformerDecoder(nn.Module):
                 return x
             return out
 
+        x = constrain_seq(x)
         for block in self.input_blocks:
-            x = run(block, x)
+            x = constrain_seq(run(block, x))
             xs.append(x)
-        x = run(self.middle_block, x)
+        x = constrain_seq(run(self.middle_block, x))
         for block, linear in zip(self.output_blocks, self.linear_blocks):
             x = linear(jnp.concatenate([x, xs.pop()], axis=-1))
-            x = run(block, x)
+            x = constrain_seq(run(block, x))
         x = self.norm(x)
         if return_cross_weights:
             return x, all_weights
