@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 __all__ = ["ln", "erf", "dot", "dot_t", "NEG_INF", "pallas_enabled",
            "no_pallas", "dropout_masks", "scoped_vmem_bytes",
-           "train_vmem_params"]
+           "train_vmem_params", "align_block_samples"]
 
 NEG_INF = -1e9  # large finite negative keeps softmax numerics safe in bf16
 
@@ -95,6 +95,29 @@ def scoped_vmem_bytes(env_name: str, default_mb: int = 0):
 def train_vmem_params(default_mb: int = 0):
     """scoped_vmem_bytes under the shared training-backward knob."""
     return scoped_vmem_bytes("LADIFF_TRAIN_VMEM_MB", default_mb)
+
+
+def align_block_samples(block_samples, B, *row_units):
+    """Smallest sample block >= min(block_samples, B) making every
+    ``Bb * unit`` row count 8-sublane aligned.
+
+    Single home for the inference kernels' block sizing so the bump is
+    deterministic AND audible: an odd LADIFF_MD_BLOCK override can land
+    above the requested size, exceeding the VMEM-residency sizing the
+    kernel docstrings assume — warn (trace-time, once per shape thanks to
+    jit caching) instead of silently growing.
+    """
+    import warnings
+    req = max(1, min(block_samples, B))
+    Bb = req
+    while any((Bb * u) % 8 != 0 for u in row_units):
+        Bb += 1  # terminates: any multiple of 8 aligns every unit
+    if Bb != req:
+        warnings.warn(
+            f"block_samples={req} bumped to {Bb} for 8-row alignment "
+            f"(row units {row_units}); kernel VMEM residency scales with "
+            f"the block", stacklevel=2)
+    return Bb
 
 
 def ln(x, scale, bias):

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ladiff_tpu.ops.pallas_common import (NEG_INF as _NEG_INF, dot as _dot,
+from ladiff_tpu.ops.pallas_common import (NEG_INF as _NEG_INF,
+                                          align_block_samples, dot as _dot,
                                           dot_t as _dot_t, erf as _erf,
                                           ln as _ln)
 
@@ -292,9 +293,7 @@ def _fused_decoder_layer(
         T = Tp
     mem = mem.reshape(B * L, D)
     mvalid = mvalid.reshape(B * L, 1)
-    Bb = max(1, min(block_samples, B))
-    while (Bb * T) % 8 != 0:  # terminates: any multiple of 8 aligns
-        Bb += 1
+    Bb = align_block_samples(block_samples, B, T)
     # pad the batch to a whole number of blocks: attention kernels must
     # never read out-of-bounds KEY rows (garbage keys would poison valid
     # queries through the score GEMM — NaN ignores the additive mask)

@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ladiff_tpu.ops.pallas_common import (NEG_INF as _NEG_INF, dot as _dot,
+from ladiff_tpu.ops.pallas_common import (NEG_INF as _NEG_INF,
+                                          align_block_samples, dot as _dot,
                                           dot_t as _dot_t, erf as _erf,
                                           ln as _ln)
 from ladiff_tpu.ops.pallas_decoder_layer import _heads_attention_packed
@@ -233,9 +234,7 @@ def _fused_md_layer(
     B = BT // T
     F1 = sa["linear1"]["kernel"].shape[1]
     F2 = ffn["linear1"]["kernel"].shape[1]
-    Bb = max(1, min(block_samples, B))
-    while (Bb * T) % 8 != 0 or (Bb * E) % 8 != 0:
-        Bb += 1  # terminates: any multiple of 8 aligns both
+    Bb = align_block_samples(block_samples, B, T, E)
     # pad the batch to a whole number of blocks: garbage out-of-bounds KEY
     # rows would poison valid queries through the score GEMM (NaN ignores
     # the additive mask)

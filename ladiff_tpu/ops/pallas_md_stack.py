@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ladiff_tpu.ops.pallas_common import (NEG_INF as _NEG_INF, dot as _dot,
+from ladiff_tpu.ops.pallas_common import (NEG_INF as _NEG_INF,
+                                          align_block_samples, dot as _dot,
                                           erf as _erf, ln as _ln,
                                           scoped_vmem_bytes)
 from ladiff_tpu.ops.pallas_decoder_layer import _heads_attention_packed
@@ -241,9 +242,7 @@ def _fused_md_stack(x, extra, kvalid, values, ca_ss, ffn_ss, stacked,
     B = BT // T
     L = values.shape[0]
     NB = stacked["wlin"].shape[0]
-    Bb = max(1, min(block_samples, B))
-    while (Bb * T) % 8 != 0 or (Bb * E) % 8 != 0:
-        Bb += 1
+    Bb = align_block_samples(block_samples, B, T, E)
     # pad the batch to whole blocks (garbage KEY rows would poison valid
     # queries through the score GEMM — same rationale as pallas_md_layer)
     Bp = -(-B // Bb) * Bb

@@ -7,18 +7,20 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.experimental import pallas as pl
 
 from ladiff_tpu.ops.stylization import MDSkipTransformerEncoder
 
 
 def _interpreted(fn):
-    orig = pl.pallas_call
-    pl.pallas_call = functools.partial(orig, interpret=True)
-    try:
+    """Run fn with pl.pallas_call forced into interpret mode, restored by a
+    pytest-managed MonkeyPatch context (exception-safe, no bare attribute
+    assignment on the global module)."""
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(pl, "pallas_call",
+                   functools.partial(pl.pallas_call, interpret=True))
         return fn()
-    finally:
-        pl.pallas_call = orig
 
 
 def _setup(B, T=7, D=256, H=4, L=5, F=256, seed=3):

@@ -10,11 +10,27 @@ import pytest
 from _stubs import stub_missing, stub_ref_submodule
 
 
-def test_refuses_to_stub_installed_package():
+def test_refuses_to_stub_installed_package(monkeypatch):
+    # Order-independent: earlier tests may have imported sklearn/HF, which
+    # pulls the real joblib into sys.modules and makes stub_missing take the
+    # (safe) setdefault early-return instead of raising.  Drop the top-level
+    # entry for the duration of this test so the guard consults the import
+    # machinery (find_spec) and exercises the refusal branch deterministically.
+    monkeypatch.delitem(sys.modules, "joblib", raising=False)
     with pytest.raises(RuntimeError, match="refusing to stub"):
         stub_missing("joblib")  # joblib IS installed in this image
-    assert getattr(sys.modules.get("joblib", None), "__spec__", 1) != None \
-        or "joblib" not in sys.modules  # no empty stub left behind
+    assert "joblib" not in sys.modules  # no empty stub left behind
+
+
+def test_preimported_real_package_is_never_replaced():
+    """The other order: when the real package is already imported,
+    stub_missing must early-return without raising AND without replacing
+    the real module (the production-safety branch)."""
+    import joblib  # noqa: F401 — ensure the real module is in sys.modules
+
+    real = sys.modules["joblib"]
+    stub_missing("joblib")
+    assert sys.modules["joblib"] is real
 
 
 def test_stubs_genuinely_missing_package():
