@@ -16,11 +16,13 @@ Steps:
      deltas with a PASS/FAIL on |ΔFID| <= --fid-tolerance (relative).
 
 --expected takes a JSON file {"FID": 0.xx, "R_precision_top_1": ...}
-holding the paper's table for the config's dataset (arXiv:2407.11532; not
-in-tree — transcribe it once from the paper).  Both released checkpoints
-are covered: the deps audit, converters and benchmark all key off the
-config, so the KIT gate is the same command with the KIT config
-(--cfg configs/config_ladiff_kit.yaml --expected paper_kit.json).
+holding the paper's table for the config's dataset (arXiv:2407.11532);
+both tables ship in-tree as scripts/paper_humanml3d.json and
+scripts/paper_kit.json ("_"-prefixed keys are provenance metadata,
+skipped by compare()).  Both released checkpoints are covered: the deps
+audit, converters and benchmark all key off the config, so the KIT gate
+is the same command with the KIT config
+(--cfg configs/config_ladiff_kit.yaml --expected scripts/paper_kit.json).
 
 --dry-run exercises the identical pipeline on synthetic data with
 random-init weights and 1 replication (no assets needed), so the gate
@@ -28,9 +30,9 @@ itself is testable in this no-egress image: tests/test_verify_release.py.
 
 Usage:
   python scripts/verify_release.py --ckpt deps/ladiff_humanml3d.ckpt \\
-      --expected paper_humanml3d.json
+      --expected scripts/paper_humanml3d.json
   python scripts/verify_release.py --cfg configs/config_ladiff_kit.yaml \\
-      --ckpt deps/ladiff_kit.ckpt --expected paper_kit.json
+      --ckpt deps/ladiff_kit.ckpt --expected scripts/paper_kit.json
   python scripts/verify_release.py --dry-run
 """
 from __future__ import annotations
@@ -108,9 +110,14 @@ def convert_release_checkpoint(ckpt_path: str, system):
 
 
 def compare(summary, expected, fid_tolerance):
-    """Rows of (metric, got, conf, want, rel_delta); overall pass bool."""
+    """Rows of (metric, got, conf, want, rel_delta); overall pass bool.
+
+    Keys starting with "_" are provenance metadata (see the committed
+    scripts/paper_*.json), not metrics — skipped."""
     rows, ok = [], True
     for key, want in sorted(expected.items()):
+        if key.startswith("_"):
+            continue
         if key not in summary:
             rows.append((key, None, None, want, None))
             ok = False

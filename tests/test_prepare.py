@@ -81,6 +81,40 @@ def test_prepare_scripts_exist_and_are_wellformed():
             assert "set -e" in head, f"{name} missing set -e"
 
 
+def test_committed_paper_tables_drive_compare():
+    """The paper tables (arXiv:2407.11532) ship in-tree: both JSONs load,
+    carry the full T2M metric set under test.py's summary keys, and
+    verify_release.compare() consumes them directly — PASS when FID is
+    within tolerance, FAIL when outside, '_' metadata keys skipped."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from verify_release import compare
+    finally:
+        sys.path.pop(0)
+    metric_keys = {"FID", "R_precision_top_1", "R_precision_top_2",
+                   "R_precision_top_3", "Matching_score", "Diversity",
+                   "MultiModality"}
+    for name in ("paper_humanml3d.json", "paper_kit.json"):
+        path = os.path.join(REPO, "scripts", name)
+        assert os.path.isfile(path), name
+        with open(path) as f:
+            expected = json.load(f)
+        assert metric_keys <= set(expected), name
+        assert expected["_source"].startswith("LADiff")
+        # a summary exactly at the paper numbers passes the FID gate
+        summary = {k: (v, 0.01) for k, v in expected.items()
+                   if not k.startswith("_")}
+        rows, ok = compare(expected=expected, summary=summary,
+                           fid_tolerance=0.02)
+        assert ok and len(rows) == len(metric_keys)
+        assert all(row[0] in metric_keys for row in rows)  # no "_" rows
+        # FID 10% off fails the 2% gate; other metrics never gate
+        summary["FID"] = (expected["FID"] * 1.10, 0.01)
+        _, ok_bad = compare(expected=expected, summary=summary,
+                            fid_tolerance=0.02)
+        assert not ok_bad
+
+
 @pytest.mark.slow
 def test_verify_release_dry_run(tmp_path):
     """The release gate end-to-end in --dry-run --tiny mode: audits deps,
