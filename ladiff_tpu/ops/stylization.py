@@ -489,6 +489,13 @@ class MDSkipTransformerEncoder(nn.Module):
         A prep dict carrying "stack" (stacked params + values + per-step
         [L, 2D] AdaLN rows, see diffusion_reverse) routes the whole stack
         through ONE pallas kernel when the gate holds."""
+        from ladiff_tpu.ops.pp_hook import pp_override_get
+        ov = pp_override_get()
+        if ov is not None and not self.is_initializing():
+            # pipeline-parallel scope (parallel/pp.py): the GPipe shard_map
+            # program replaces the layer loop; prep/dropout do not apply
+            # there (the stage program is deterministic by design)
+            return ov(self, x, xf, emb, latent_valid)
         B = x.shape[0]
         if prep is not None and "stack" in prep:
             stack = prep["stack"]

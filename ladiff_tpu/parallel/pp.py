@@ -4,7 +4,7 @@ The reference's only parallelism is replicated-weights DDP
 (/root/reference/src/train.py:153-165); like ``parallel/tp.py`` and
 ``parallel/fsdp.py`` this module goes beyond it, completing the classic
 parallelism matrix with the pipeline axis: the denoiser's L MD layers
-(/root/reference/src/ladiff/models/architectures/tools/cross_attention.py:69-86
+(/root/reference/src/ladiff/models/operator/cross_attention.py:69-86
 over mdiff_transformer.py:265-321) are split into S contiguous stages,
 one stage's weights per device along a ``pipe`` mesh axis, and a batch
 flows through as ``n_micro`` microbatches on the GPipe schedule:
@@ -48,8 +48,6 @@ the TP/FSDP convention.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,7 +56,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ladiff_tpu.ops.pallas_common import no_pallas
 
 __all__ = ["PIPE_AXIS", "make_pipe_mesh", "stack_stage_params",
-           "pipeline_encoder_forward"]
+           "pipeline_encoder_forward", "make_pipeline_encoder",
+           "make_pp_diffusion_train_step"]
 
 PIPE_AXIS = "pipe"
 
@@ -108,18 +107,33 @@ def stack_stage_params(enc_params, num_layers: int, n_stages: int,
             "blin": stage_stack(blin)}
 
 
-def pipeline_encoder_forward(enc, enc_params, x, xf, emb, latent_valid, *,
-                             mesh: Mesh, n_micro: int) -> jax.Array:
-    """The MDSkipTransformerEncoder forward, pipelined over ``mesh``'s
-    ``pipe`` axis.  Equals ``enc.apply({"params": enc_params}, x, xf, emb,
-    latent_valid, deterministic=True)`` (tests/test_pp.py pins forward AND
-    gradient parity); differentiable w.r.t. ``enc_params``.
+def _make_modules(enc):
+    """(template MD layer, final LayerNorm) from encoder hyperparameters.
+    MUST be called OUTSIDE any live flax module scope — flax forbids
+    constructing modules inside another module's method (the pp_hook
+    override runs inside the denoiser's __call__), so the train-step
+    factory pre-builds these and passes them into _pipeline_apply."""
+    import flax.linen as nn
 
-    enc: the (unbound) encoder module, for hyperparameters; x [B, T, D];
-    xf [B, N, D]; emb [B, D]; latent_valid [B, T] bool or None.
-    """
     from ladiff_tpu.ops.stylization import MDTransformerLayer
+    template = MDTransformerLayer(
+        enc.d_model, enc.text_latent_dim, enc.ffn_dim, enc.num_heads,
+        dropout=0.0, dtype=enc.dtype)
+    norm = nn.LayerNorm(epsilon=1e-5, dtype=enc.dtype)
+    return template, norm
 
+
+def _pipeline_apply(enc, staged, norm_params, x, xf, emb, latent_valid, *,
+                    mesh: Mesh, n_micro: int, modules=None) -> jax.Array:
+    """The traced GPipe core: staged params (leading [S] axis) + inputs ->
+    encoder output.  Pure — no staging, no device placement — so it can
+    run under an outer ``jit`` (the PP train step) where the arguments are
+    tracers and placement comes from the jit's shardings.  ``enc`` is any
+    object carrying the MDSkipTransformerEncoder hyperparameters
+    (num_layers, d_model, text_latent_dim, ffn_dim, num_heads, dtype) —
+    the unbound module, or the bound one handed to the pp_hook override.
+    ``modules``: a pre-built ``_make_modules`` pair, REQUIRED when called
+    from inside a flax scope (the pp_hook path)."""
     S = mesh.shape[PIPE_AXIS]
     L = enc.num_layers
     nb = (L - 1) // 2
@@ -127,10 +141,7 @@ def pipeline_encoder_forward(enc, enc_params, x, xf, emb, latent_valid, *,
     B, T, D = x.shape
     assert B % n_micro == 0, (B, n_micro)
     mb = B // n_micro
-    staged = stack_stage_params(enc_params, L, S, enc.d_model)
-    template = MDTransformerLayer(
-        enc.d_model, enc.text_latent_dim, enc.ffn_dim, enc.num_heads,
-        dropout=0.0, dtype=enc.dtype)
+    template, norm = modules if modules is not None else _make_modules(enc)
 
     def split(a):  # [B, ...] -> [n_micro, mb, ...]
         return a.reshape((n_micro, mb) + a.shape[1:])
@@ -202,18 +213,115 @@ def pipeline_encoder_forward(enc, enc_params, x, xf, emb, latent_valid, *,
     shmapped = jax.shard_map(
         run, mesh=mesh, in_specs=(P(PIPE_AXIS), P(), P(), P(), P()),
         out_specs=P(), check_vma=False)
-    # commit args to THIS mesh's devices: callers may hold params/batches
-    # committed to a different device set (e.g. a full-host DP mesh), which
-    # shard_map rejects as incompatible
+    with no_pallas():
+        y = shmapped(staged, split(x), split(xf), split(emb), split(valid))
+    y = y.reshape(B, T, D)
+    return norm.apply({"params": norm_params}, y)
+
+
+def make_pipeline_encoder(enc, enc_params, *, mesh: Mesh, n_micro: int):
+    """Host-level factory: stage + place the encoder params ONCE, return
+    ``forward(x, xf, emb, latent_valid=None)`` for repeated (inference)
+    calls — the production shape of the PP forward path (the per-call
+    staging of early revisions was dryrun-grade only).
+
+    enc: the (unbound) MDSkipTransformerEncoder, for hyperparameters.
+    """
+    S = mesh.shape[PIPE_AXIS]
+    staged = stack_stage_params(enc_params, enc.num_layers, S, enc.d_model)
+    # commit to THIS mesh's devices: callers may hold params/batches
+    # committed to a different device set (e.g. a full-host DP mesh),
+    # which shard_map rejects as incompatible
     shard = jax.sharding.NamedSharding(mesh, P(PIPE_AXIS))
     repl = jax.sharding.NamedSharding(mesh, P())
     staged = jax.device_put(staged, shard)
-    args = jax.device_put(
-        (split(x), split(xf), split(emb), split(valid)), repl)
-    with no_pallas():
-        y = shmapped(staged, *args)
-    y = y.reshape(B, T, D)
-    import flax.linen as nn
-    norm_p = jax.device_put(enc_params["norm"], repl)
-    return nn.LayerNorm(epsilon=1e-5, dtype=enc.dtype).apply(
-        {"params": norm_p}, y)
+    norm_params = jax.device_put(enc_params["norm"], repl)
+
+    def forward(x, xf, emb, latent_valid=None):
+        x, xf, emb = jax.device_put((x, xf, emb), repl)
+        if latent_valid is not None:
+            latent_valid = jax.device_put(latent_valid, repl)
+        return _pipeline_apply(enc, staged, norm_params, x, xf, emb,
+                               latent_valid, mesh=mesh, n_micro=n_micro)
+
+    return forward
+
+
+def pipeline_encoder_forward(enc, enc_params, x, xf, emb, latent_valid, *,
+                             mesh: Mesh, n_micro: int) -> jax.Array:
+    """One-shot convenience wrapper over :func:`make_pipeline_encoder`
+    (stages params per call — use the factory for repeated calls).
+    Equals ``enc.apply({"params": enc_params}, x, xf, emb, latent_valid,
+    deterministic=True)`` (tests/test_pp.py pins forward AND gradient
+    parity); differentiable w.r.t. ``enc_params``.
+
+    enc: the (unbound) encoder module, for hyperparameters; x [B, T, D];
+    xf [B, N, D]; emb [B, D]; latent_valid [B, T] bool or None.
+    """
+    return make_pipeline_encoder(enc, enc_params, mesh=mesh,
+                                 n_micro=n_micro)(x, xf, emb, latent_valid)
+
+
+def make_pp_diffusion_train_step(system, mesh: Mesh, vae_params, uncond_emb,
+                                 *, n_micro: int):
+    """jitted (state, batch, rng) -> (state, logs): the stage-2 denoiser
+    train step with the MD skip stack PIPELINED over ``mesh``'s ``pipe``
+    axis (TRAIN.PIPELINE_STAGES in the loop).
+
+    Same loss math as ``trainer.make_diffusion_train_step`` — the
+    ``ops/pp_hook`` scope reroutes only the MDSkipTransformerEncoder
+    forward into the GPipe shard_map program, whose staging runs INSIDE
+    the compiled step (params change every update, so per-step staging is
+    a handful of device-side stacks, and ``jax.grad`` flows through the
+    re-layout back to the canonical param tree the optimizer owns).
+    Encoder dropout is off under the pipeline schedule (the stage program
+    is deterministic by design — documented in PARITY.md §2.6); batch and
+    state are replicated over the pipe mesh, microbatching provides the
+    parallelism.  tests/test_pp.py pins one-step parity vs the plain DP
+    step at dropout 0.
+    """
+    import optax
+
+    from ladiff_tpu.ops.pp_hook import pp_encoder_override
+
+    from ladiff_tpu.ops.stylization import MDSkipTransformerEncoder
+
+    S = mesh.shape[PIPE_AXIS]
+    L = system.denoiser_num_layers or system.num_layers
+    assert L % S == 0, (
+        f"PIPELINE_STAGES={S} must divide the denoiser's {L} MD layers")
+    repl = jax.sharding.NamedSharding(mesh, P())
+    vae_params = jax.device_put(vae_params, repl)
+    uncond_emb = jax.device_put(jnp.asarray(uncond_emb), repl)
+    # pre-build the stage modules HERE, outside any flax scope: the
+    # override fires inside the denoiser's __call__, where flax forbids
+    # module construction (_make_modules docstring)
+    den = system.denoiser
+    enc_hp = MDSkipTransformerEncoder(
+        den.d_model, den.d_model, den.num_heads, L, den.ff_size,
+        den.dropout, dtype=den.dtype)
+    modules = _make_modules(enc_hp)
+
+    def override(enc_bound, x, xf, emb, latent_valid):
+        enc_params = enc_bound.variables["params"]
+        staged = stack_stage_params(enc_params, L, S, enc_hp.d_model)
+        return _pipeline_apply(enc_hp, staged, enc_params["norm"],
+                               x, xf, emb, latent_valid,
+                               mesh=mesh, n_micro=n_micro, modules=modules)
+
+    def step(state, batch, rng):
+        def loss_fn(params):
+            with pp_encoder_override(override), no_pallas():
+                total, (logs, _) = system.diffusion_forward(
+                    params, vae_params, batch, rng, uncond_emb, train=True)
+            return total, logs
+
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, dict(logs, grad_norm=optax.global_norm(grads))
+
+    jitted = jax.jit(step, in_shardings=(repl, repl, repl),
+                     out_shardings=(repl, repl), donate_argnums=(0,))
+    jitted.raw_step = step
+    return jitted

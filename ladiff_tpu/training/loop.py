@@ -273,12 +273,56 @@ def run_training(cfg, dm: T2MDataModule, logger,
     # over the DATA axis instead (ZeRO-3 layout, parallel/fsdp.py); XLA
     # gathers weights just-in-time and reduce-scatters gradients
     fsdp = bool(cfg.TRAIN.get("FSDP", False))
-    if fsdp and n_model > 1:
+    # TRAIN.SEQUENCE_PARALLEL > 1 shards the VAE tower's TOKEN axis over
+    # that many devices (parallel/sp.py wired for training — vae stage
+    # only: the denoiser's 7 latent tokens have nothing to shard)
+    n_seq = int(cfg.TRAIN.get("SEQUENCE_PARALLEL", 1) or 1)
+    # TRAIN.PIPELINE_STAGES > 1 pipelines the denoiser's MD skip stack
+    # over a GPipe schedule (parallel/pp.py — diffusion stage only);
+    # TRAIN.PIPELINE_MICROBATCHES sets the microbatch count (default =
+    # stages; bubble (S-1)/(n_micro+S-1))
+    n_pipe = int(cfg.TRAIN.get("PIPELINE_STAGES", 1) or 1)
+    axes_on = [name for name, on in [
+        ("TENSOR_PARALLEL", n_model > 1), ("FSDP", fsdp),
+        ("SEQUENCE_PARALLEL", n_seq > 1), ("PIPELINE_STAGES", n_pipe > 1)]
+        if on]
+    if len(axes_on) > 1:
         raise ValueError(
-            "TRAIN.FSDP and TRAIN.TENSOR_PARALLEL>1 are mutually exclusive "
-            "(pick one sharded-state layout)")
-    mesh = make_mesh(n_model=n_model)
-    n_dev = int(np.prod(mesh.devices.shape))
+            f"TRAIN.{' and TRAIN.'.join(axes_on)} are mutually exclusive "
+            "(pick one non-DP parallelism layout)")
+    if n_seq > 1:
+        if stage != "vae":
+            raise ValueError(
+                "TRAIN.SEQUENCE_PARALLEL shards the VAE token axis; it is "
+                f"supported for TRAIN.STAGE=vae only (got {stage!r})")
+        if n_seq < 1 or n_avail % n_seq != 0:
+            raise ValueError(
+                f"TRAIN.SEQUENCE_PARALLEL={n_seq} must divide the device "
+                f"count ({n_avail})")
+    if n_pipe > 1:
+        if stage != "diffusion":
+            raise ValueError(
+                "TRAIN.PIPELINE_STAGES pipelines the denoiser MD stack; it "
+                f"is supported for TRAIN.STAGE=diffusion only (got {stage!r})")
+        if getattr(system, "ardiff", False) or not system.md_trans:
+            raise ValueError(
+                "TRAIN.PIPELINE_STAGES needs the MD_TRANS denoiser "
+                "(non-AR): the pipeline program covers the MD skip stack")
+        if n_pipe > n_avail:
+            raise ValueError(
+                f"TRAIN.PIPELINE_STAGES={n_pipe} exceeds the device count "
+                f"({n_avail})")
+    if n_pipe > 1:
+        from ladiff_tpu.parallel.pp import make_pipe_mesh
+        mesh = make_pipe_mesh(n_pipe)
+        n_micro = int(cfg.TRAIN.get("PIPELINE_MICROBATCHES", n_pipe)
+                      or n_pipe)
+        pad_multiple = n_micro
+    else:
+        # a model axis of width n (TP weight-sharding) or n_seq (SP token
+        # sharding — params replicated) — default 1-wide = plain DP
+        mesh = make_mesh(n_model=n_seq if n_seq > 1 else n_model)
+        pad_multiple = int(np.prod(mesh.devices.shape))
     exp_dir = cfg.get("FOLDER_EXP", ".")
     ckpt_dir = pjoin(exp_dir, "checkpoints")
     ckpt = CheckpointManager(ckpt_dir)
@@ -303,7 +347,8 @@ def run_training(cfg, dm: T2MDataModule, logger,
     is_action = system.condition == "action"
     if stage == "vae":
         state = create_train_state(params["vae"], tx)
-        step_fn = make_vae_train_step(system, mesh, fsdp=fsdp)
+        step_fn = make_vae_train_step(system, mesh, fsdp=fsdp,
+                                      seq_parallel=n_seq > 1)
         embedder = None
     elif stage == "diffusion":
         # stage-1 boot: restore the pretrained VAE (reference train.py:181-193)
@@ -339,8 +384,13 @@ def run_training(cfg, dm: T2MDataModule, logger,
             embedder = CaptionEmbedder(text_encoder)
             uncond = embedder.uncond
         state = create_train_state(params["denoiser"], tx)
-        step_fn = make_diffusion_train_step(system, mesh, vae_params,
-                                            uncond, fsdp=fsdp)
+        if n_pipe > 1:
+            from ladiff_tpu.parallel.pp import make_pp_diffusion_train_step
+            step_fn = make_pp_diffusion_train_step(system, mesh, vae_params,
+                                                   uncond, n_micro=n_micro)
+        else:
+            step_fn = make_diffusion_train_step(system, mesh, vae_params,
+                                                uncond, fsdp=fsdp)
     elif stage == "vae_diffusion":
         if text_encoder is None:
             from ladiff_tpu.models.clip_text import ClipTextEncoder
@@ -431,6 +481,11 @@ def run_training(cfg, dm: T2MDataModule, logger,
     elif fsdp:
         from ladiff_tpu.parallel.fsdp import shard_train_state
         state = shard_train_state(state, mesh)
+    elif n_pipe > 1:
+        # replicated state committed to the pipe mesh's device set (the
+        # microbatch schedule, not the batch sharding, is the parallelism)
+        from jax.sharding import NamedSharding, PartitionSpec
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
 
     end_epoch = max_epochs if max_epochs is not None else int(cfg.TRAIN.END_EPOCH)
     save_every = int(cfg.LOGGER.get("SACE_CHECKPOINT_EPOCH", 200))
@@ -463,7 +518,7 @@ def run_training(cfg, dm: T2MDataModule, logger,
         prefetch thread (or inline when TRAIN.PREFETCH=0, stop=None).
         ``stop`` is the prefetcher's stop event, checked between stages so
         close() never waits out a whole embed+transfer chain."""
-        batch = _pad_batch(batch, n_dev)
+        batch = _pad_batch(batch, pad_multiple)
         device_batch = {
             "motion": np.ascontiguousarray(batch["motion"]),
             "length": np.ascontiguousarray(batch["length"]),
@@ -477,6 +532,12 @@ def run_training(cfg, dm: T2MDataModule, logger,
                 device_batch["text_emb"] = embedder(batch["text"])
         if stop is not None and stop.is_set():
             return None  # skip the (slow over the relay) device transfer
+        if n_pipe > 1:
+            # pipe mesh: the batch is replicated; the GPipe microbatch
+            # schedule inside the step provides the parallelism
+            from jax.sharding import NamedSharding, PartitionSpec
+            return jax.device_put(device_batch,
+                                  NamedSharding(mesh, PartitionSpec()))
         return shard_batch(device_batch, mesh)
 
     # TRAIN.PREFETCH: queue depth for the background host pipeline

@@ -52,7 +52,8 @@ def _shardings(mesh: Mesh):
     return repl, data
 
 
-def _jit_step(step, mesh: Mesh, batch_sh, repl, fsdp: bool = False):
+def _jit_step(step, mesh: Mesh, batch_sh, repl, fsdp: bool = False,
+              replicated_state: bool = False):
     """jit a train step for the mesh.
 
     DP mesh (model axis 1, no FSDP): explicit replicated state shardings.
@@ -61,8 +62,12 @@ def _jit_step(step, mesh: Mesh, batch_sh, repl, fsdp: bool = False):
     specs, so shardings are inferred from the committed arguments, and
     the trace runs under ``no_pallas()`` — the SPMD partitioner cannot
     split the fused kernels' custom calls.
+
+    replicated_state forces the DP-style replicated-state jit even when
+    the model axis is wide — sequence parallelism reuses that axis for
+    TOKENS while params stay replicated (make_vae_train_step(seq_parallel)).
     """
-    if mesh.shape[MODEL_AXIS] <= 1 and not fsdp:
+    if (mesh.shape[MODEL_AXIS] <= 1 or replicated_state) and not fsdp:
         jitted = jax.jit(step, in_shardings=(repl, batch_sh, repl),
                          out_shardings=(repl, repl), donate_argnums=(0,))
         jitted.raw_step = step
@@ -101,8 +106,17 @@ def _jit_step(step, mesh: Mesh, batch_sh, repl, fsdp: bool = False):
 
 
 def make_vae_train_step(system: LADiffSystem, mesh: Mesh,
-                        fsdp: bool = False) -> Callable:
-    """jitted (state, batch, rng) -> (state, logs); stage-1 VAE training."""
+                        fsdp: bool = False,
+                        seq_parallel: bool = False) -> Callable:
+    """jitted (state, batch, rng) -> (state, logs); stage-1 VAE training.
+
+    seq_parallel (TRAIN.SEQUENCE_PARALLEL in the loop): the mesh's
+    ``model`` axis is reused as a SEQUENCE axis — params replicated,
+    batch data-sharded as usual, and the VAE tower's inter-block
+    activations pinned to a [data, model(=seq), None] sharding via
+    ``ops/sp_hook``, so LayerNorm/FFN/skip GEMMs compute on 1/n token
+    slices and only attention gathers (parallel/sp.py design, wired for
+    training; tests/test_training.py pins step parity vs plain DP)."""
     repl, data = _shardings(mesh)
 
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
@@ -116,8 +130,22 @@ def make_vae_train_step(system: LADiffSystem, mesh: Mesh,
         logs = dict(logs, grad_norm=optax.global_norm(grads))
         return state, logs
 
+    if seq_parallel:
+        from ladiff_tpu.ops.pallas_common import no_pallas
+        from ladiff_tpu.ops.sp_hook import seq_sharding
+        act = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
+        inner = step
+
+        def step(state, batch, rng):
+            # trace-time scopes: activations re-pinned between blocks;
+            # plain-XLA module paths (the SPMD partitioner cannot split
+            # the fused kernels' custom calls)
+            with seq_sharding(act), no_pallas():
+                return inner(state, batch, rng)
+
     batch_sh = {"motion": data, "length": data}
-    return _jit_step(step, mesh, batch_sh, repl, fsdp=fsdp)
+    return _jit_step(step, mesh, batch_sh, repl, fsdp=fsdp,
+                     replicated_state=seq_parallel)
 
 
 def make_diffusion_train_step(system: LADiffSystem, mesh: Mesh,

@@ -59,6 +59,23 @@ def test_action_vae_then_diffusion_training(a2m_env, tmp_path):
     assert any(n.startswith("epoch_") for n in os.listdir(diff_ckpt))
 
 
+def test_distill_rejects_action_condition(a2m_env):
+    """loop.py's distill guard: the progressive-distillation stage folds
+    text guidance into the student, so an action-conditioned config must
+    fail loudly at run_training time."""
+    from ladiff_tpu.training.loop import run_training
+    from ladiff_tpu.utils.logger import create_logger
+
+    cfg = _cfg(a2m_env, "config_ladiff_humanact12.yaml", "distill_bad")
+    cfg.TRAIN.STAGE = "distill"
+    cfg.TRAIN.PRETRAINED = "/nonexistent"  # guard fires before the restore
+    dm = get_datasets(cfg, phase="train")[0]
+    logger = create_logger(cfg, phase="train")
+    logger.setLevel(logging.WARNING)
+    with pytest.raises(ValueError, match="text condition only"):
+        run_training(cfg, dm, logger, max_steps_per_epoch=1, max_epochs=1)
+
+
 def test_action_datamodule_loader(a2m_env):
     cfg = _cfg(a2m_env, "config_vae_humanact12.yaml", "vae")
     dm = get_datasets(cfg, phase="train")[0]

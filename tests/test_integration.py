@@ -122,6 +122,52 @@ def test_full_two_stage_pipeline(pipeline_root, dm):
                  max_steps_per_epoch=2)
 
 
+def test_distill_stage_through_loop(pipeline_root, dm):
+    """TRAIN.STAGE=distill through run_training (loop.py wiring, not just
+    the step factory): teacher boot from a just-trained stage-2 checkpoint
+    directory, student := teacher init, training steps run, and the saved
+    checkpoint carries the stage-2 layout (denoiser + frozen vae)."""
+    from ladiff_tpu.training.loop import run_training
+    from ladiff_tpu.utils.checkpoint import CheckpointManager, \
+        latest_checkpoint
+    from ladiff_tpu.utils.logger import create_logger
+
+    teacher_dir = os.path.join(str(pipeline_root / "experiments"), "ladiff",
+                               "it_diffusion", "checkpoints")
+    if not os.path.isdir(teacher_dir):
+        pytest.skip("stage-2 test must run first")
+    cfg = _tiny_cfg(pipeline_root, "diffusion")
+    cfg.NAME = "it_distill"
+    cfg.TRAIN.STAGE = "distill"
+    cfg.TRAIN.PRETRAINED = teacher_dir
+    cfg.TRAIN.DISTILL_STEPS = 2
+    logger = create_logger(cfg, phase="train")
+    logger.setLevel(logging.WARNING)
+    ckpt_dir = run_training(cfg, dm, logger,
+                            text_encoder=_FakeTextEncoder(48),
+                            max_steps_per_epoch=2, max_epochs=1)
+    found = latest_checkpoint(ckpt_dir)
+    assert found is not None
+    # restores in the stage-2 tree layout: student denoiser + frozen vae
+    from ladiff_tpu.data.datamodule import T2MDataModule  # noqa: F401
+    from ladiff_tpu.training.loop import build_system
+    params = build_system(cfg, dm).init_params(jax.random.PRNGKey(0))
+    _, tree = CheckpointManager(ckpt_dir).restore(
+        found[0], {"params": params, "epoch": 0})
+    assert set(tree["params"]) == {"denoiser", "vae"}
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(tree["params"]))
+
+    # error path (loop.py): distill without a teacher fails loudly
+    cfg_bad = _tiny_cfg(pipeline_root, "diffusion")
+    cfg_bad.NAME = "it_distill_bad"
+    cfg_bad.TRAIN.STAGE = "distill"
+    with pytest.raises(ValueError, match="TRAIN.PRETRAINED"):
+        run_training(cfg_bad, dm, logger,
+                     text_encoder=_FakeTextEncoder(48),
+                     max_steps_per_epoch=1, max_epochs=1)
+
+
 def test_vae_stage_eval(pipeline_root, dm):
     """VAE-stage benchmark path (reconstruction metrics incl. MRMetrics)."""
     run_test = _load_run_test()
@@ -172,3 +218,66 @@ def test_tp_training_through_loop(pipeline_root, dm):
     cfg.TRAIN.TENSOR_PARALLEL = 3   # does not divide 8
     with pytest.raises(ValueError, match="TENSOR_PARALLEL"):
         run_training(cfg, dm, logger, max_steps_per_epoch=1, max_epochs=1)
+
+
+def test_sp_training_through_loop(pipeline_root, dm):
+    """run_training with TRAIN.SEQUENCE_PARALLEL=2: the loop builds the
+    (4, 2) mesh with the model axis reused as the token axis, trains the
+    VAE sequence-parallel and checkpoints; invalid configs fail loudly."""
+    import logging
+
+    from ladiff_tpu.training.loop import run_training
+    from ladiff_tpu.utils.logger import create_logger
+
+    cfg = _tiny_cfg(pipeline_root, "vae")
+    cfg.NAME = "it_vae_sp"
+    cfg.FOLDER_EXP = str(pipeline_root / "experiments" / "it_vae_sp")
+    cfg.TRAIN.SEQUENCE_PARALLEL = 2
+    logger = create_logger(cfg, phase="train")
+    logger.setLevel(logging.WARNING)
+    ckpt_dir = run_training(cfg, dm, logger, max_steps_per_epoch=2,
+                            max_epochs=1)
+    assert any(n.startswith("epoch_") for n in os.listdir(ckpt_dir))
+
+    # wrong stage: SP shards the VAE token axis only
+    cfg_bad = _tiny_cfg(pipeline_root, "diffusion")
+    cfg_bad.TRAIN.SEQUENCE_PARALLEL = 2
+    with pytest.raises(ValueError, match="SEQUENCE_PARALLEL"):
+        run_training(cfg_bad, dm, logger,
+                     text_encoder=_FakeTextEncoder(48),
+                     max_steps_per_epoch=1, max_epochs=1)
+    # mutual exclusion with TP
+    cfg.TRAIN.TENSOR_PARALLEL = 2
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_training(cfg, dm, logger, max_steps_per_epoch=1, max_epochs=1)
+
+
+def test_pp_training_through_loop(pipeline_root, dm):
+    """run_training with TRAIN.PIPELINE_STAGES=3: the loop builds the pipe
+    mesh, pipelines the 3-layer MD stack via the GPipe train step
+    (parallel/pp.py), trains and checkpoints; wrong stage fails loudly."""
+    import logging
+
+    from ladiff_tpu.training.loop import run_training
+    from ladiff_tpu.utils.logger import create_logger
+
+    cfg = _tiny_cfg(pipeline_root, "diffusion")
+    cfg.NAME = "it_diff_pp"
+    cfg.FOLDER_EXP = str(pipeline_root / "experiments" / "it_diff_pp")
+    cfg.TRAIN.PRETRAINED_VAE = ""       # fresh VAE: the YAML default points
+    cfg.TRAIN.PIPELINE_STAGES = 3       # at the released ckpt path; divides
+    # the 3 MD layers
+    cfg.TRAIN.PIPELINE_MICROBATCHES = 2
+    logger = create_logger(cfg, phase="train")
+    logger.setLevel(logging.WARNING)
+    ckpt_dir = run_training(cfg, dm, logger,
+                            text_encoder=_FakeTextEncoder(48),
+                            max_steps_per_epoch=2, max_epochs=1)
+    assert any(n.startswith("epoch_") for n in os.listdir(ckpt_dir))
+
+    # wrong stage: the pipeline program covers the denoiser MD stack
+    cfg_bad = _tiny_cfg(pipeline_root, "vae")
+    cfg_bad.TRAIN.PIPELINE_STAGES = 3
+    with pytest.raises(ValueError, match="PIPELINE_STAGES"):
+        run_training(cfg_bad, dm, logger, max_steps_per_epoch=1,
+                     max_epochs=1)

@@ -94,6 +94,48 @@ def test_rbg_rng_train_step():
     assert losses[-1] < losses[0]
 
 
+def test_seq_parallel_vae_step_matches_dp():
+    """make_vae_train_step(seq_parallel=True) on a (2, 4) mesh — model
+    axis reused as the token axis — produces the same updated params as
+    the plain DP step (dropout off; the sharding constraint only re-lays
+    activations)."""
+    import optax
+
+    system = tiny_system(dropout=0.0)
+    params = system.init_params(jax.random.PRNGKey(0))["vae"]
+    batch = {k: v for k, v in make_batch().items()
+             if k in ("motion", "length")}
+
+    mesh_dp = make_mesh()
+    # plain SGD so the one-step param delta IS the gradient (Adam's
+    # grad/(|grad|+eps) normalization amplifies ~1e-7 resharding noise to
+    # ±lr sign flips at near-zero gradients); each step donates its input
+    # state, so give each its own param buffers
+    state_dp = create_train_state(jax.tree.map(jnp.copy, params),
+                                  optax.sgd(1.0))
+    step_dp = make_vae_train_step(system, mesh_dp)
+    state_dp, logs_dp = step_dp(state_dp, shard_batch(batch, mesh_dp),
+                                jax.random.PRNGKey(7))
+
+    mesh_sp = make_mesh(n_model=4)  # data=2, model(=seq)=4
+    state_sp = create_train_state(jax.tree.map(jnp.copy, params),
+                                  optax.sgd(1.0))
+    step_sp = make_vae_train_step(system, mesh_sp, seq_parallel=True)
+    state_sp, logs_sp = step_sp(state_sp, shard_batch(batch, mesh_sp),
+                                jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(float(logs_sp["total"]),
+                               float(logs_dp["total"]), rtol=1e-5)
+    flat_a, _ = jax.flatten_util.ravel_pytree(
+        jax.tree.map(np.asarray, state_dp.params))
+    flat_b, _ = jax.flatten_util.ravel_pytree(
+        jax.tree.map(np.asarray, state_sp.params))
+    # scale-aware bound (same yardstick as tests/test_sp.py): the sharded
+    # program reduces in a different order, so large-magnitude gradient
+    # leaves carry proportional rounding noise
+    np.testing.assert_allclose(flat_b, flat_a, atol=5e-4, rtol=1e-4)
+
+
 def test_diffusion_train_step_runs_and_updates():
     system = tiny_system()
     mesh = make_mesh()
