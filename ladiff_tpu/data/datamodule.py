@@ -232,10 +232,19 @@ def get_datasets(cfg, phase: str = "train") -> List[T2MDataModule]:
         if not os.path.exists(pjoin(data_root, "Mean.npy")):
             if os.environ.get("LADIFF_SYNTHETIC_DATA", "") == "1":
                 from ladiff_tpu.data.synthetic import generate_synthetic_dataset
-                data_root = pjoin("datasets", f"synthetic_{name}")
+                # LADIFF_SYNTHETIC_CLIPS sizes the stand-in (default 64);
+                # verify_release --dry-run raises it so the test split
+                # exceeds the R-precision group size (32) and the T2M
+                # metrics (FID et al) actually compute.  Non-default
+                # counts get their own dir so a cached 64-clip set is
+                # never mistaken for a larger one.
+                n_clips = int(os.environ.get("LADIFF_SYNTHETIC_CLIPS",
+                                             "64") or 64)
+                suffix = f"_{n_clips}" if n_clips != 64 else ""
+                data_root = pjoin("datasets", f"synthetic_{name}{suffix}")
                 if not os.path.exists(pjoin(data_root, "Mean.npy")):
                     nfeats = _DATASET_SPECS[name]["nfeats"]
-                    generate_synthetic_dataset(data_root, n_clips=64,
+                    generate_synthetic_dataset(data_root, n_clips=n_clips,
                                                nfeats=nfeats)
                 print(f"WARNING: {name} dataset not found; using SYNTHETIC "
                       f"data at {data_root} (LADIFF_SYNTHETIC_DATA=1). "

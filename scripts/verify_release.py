@@ -169,6 +169,11 @@ def main(argv=None):
 
     if args.dry_run:
         os.environ["LADIFF_SYNTHETIC_DATA"] = "1"
+        # enough synthetic test sequences (>32, the R-precision group
+        # size) that the T2M metrics — FID included — actually compute,
+        # so the dry-run exercises the same compare() rows as the real
+        # gate
+        os.environ.setdefault("LADIFF_SYNTHETIC_CLIPS", "400")
 
     from ladiff_tpu.config import assemble_config
     from ladiff_tpu.utils.logger import create_logger
