@@ -35,39 +35,88 @@ def quick_gelu(x):
 
 
 class CLIPTextLayer(nn.Module):
+    """One pre-LN CLIP text block (HF CLIPEncoderLayer semantics).
+
+    Inference on TPU routes the LN/projection glue through two fused
+    Pallas kernels (ops/pallas_clip_layer.py: LN1+qkv prologue, then
+    out-proj+residual+LN2+MLP epilogue) with the S<=77 attention core
+    left on XLA — round 4 measured fused-attention variants slower at
+    these shapes (PERF.md, text-tower decomposition).  Param tree is
+    identical either way ({q,k,v,out}_proj/fc1/fc2 {kernel,bias},
+    ln_1/ln_2 {scale,bias}), so the HF checkpoint converter is unaffected.
+    """
+
     width: int
     heads: int
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, causal_mask):
-        from ladiff_tpu.ops.attention import masked_attention
+    def setup(self):
+        from ladiff_tpu.ops.param_layers import DenseParams, LNParams
+        D = self.width
+        self.ln_1 = LNParams(D, dtype=self.dtype)
+        self.q_proj = DenseParams(D, D, dtype=self.dtype)
+        self.k_proj = DenseParams(D, D, dtype=self.dtype)
+        self.v_proj = DenseParams(D, D, dtype=self.dtype)
+        self.out_proj = DenseParams(D, D, dtype=self.dtype)
+        self.ln_2 = LNParams(D, dtype=self.dtype)
+        self.fc1 = DenseParams(D, 4 * D, dtype=self.dtype)
+        self.fc2 = DenseParams(4 * D, D, dtype=self.dtype)
 
-        D, H = self.width, self.heads
-        residual = x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
-        q = nn.Dense(D, dtype=self.dtype, name="q_proj")(y)
-        k = nn.Dense(D, dtype=self.dtype, name="k_proj")(y)
-        v = nn.Dense(D, dtype=self.dtype, name="v_proj")(y)
-        B, S, _ = y.shape
+    def _attention_core(self, q, k, v, causal_mask):
+        """[B, S, D] q (pre-scaled), k, v -> [B, S, D]; stays on XLA."""
+        B, S, D = q.shape
+        H = self.heads
         qh = q.reshape(B, S, H, D // H).transpose(0, 2, 1, 3)
         kh = k.reshape(B, S, H, D // H).transpose(0, 2, 1, 3)
         vh = v.reshape(B, S, H, D // H).transpose(0, 2, 1, 3)
-        scale = 1.0 / np.sqrt(D // H)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh,
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                             preferred_element_type=jnp.float32)
         logits = jnp.where(causal_mask[None, None], logits, -1e9)
-        w = jax.nn.softmax(logits, axis=-1).astype(y.dtype)
+        w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         att = jnp.einsum("bhqk,bhkd->bhqd", w, vh,
-                         preferred_element_type=jnp.float32).astype(y.dtype)
-        att = att.transpose(0, 2, 1, 3).reshape(B, S, D)
-        x = residual + nn.Dense(D, dtype=self.dtype, name="out_proj")(att)
-        residual = x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
-        y = nn.Dense(4 * D, dtype=self.dtype, name="fc1")(y)
-        y = quick_gelu(y)
-        y = nn.Dense(D, dtype=self.dtype, name="fc2")(y)
-        return residual + y
+                         preferred_element_type=jnp.float32).astype(q.dtype)
+        return att.transpose(0, 2, 1, 3).reshape(B, S, D)
+
+    def __call__(self, x, causal_mask):
+        from ladiff_tpu.ops.pallas_common import pallas_enabled
+
+        D, H = self.width, self.heads
+        B, S, _ = x.shape
+        scale = 1.0 / np.sqrt(D // H)
+        # Fuse only at the short buckets: measured on TPU, the kernels win
+        # at the production 32-token bucket (12.5 vs 13.2 ms/batch-256) and
+        # LOSE at the 77-pad width (45.1 vs 36.3 — XLA schedules the larger
+        # activation stream better than the weight-stationary row pipeline;
+        # PERF.md round-5 A/B).  LADIFF_CLIP_FUSE_S overrides the
+        # crossover for re-measurement (trace-time, like LADIFF_MD_BLOCK).
+        fuse_max_s = int(os.environ.get("LADIFF_CLIP_FUSE_S", "32"))
+        if (pallas_enabled() and not self.is_initializing()
+                and D % 128 == 0 and S <= fuse_max_s):
+            from ladiff_tpu.ops.pallas_clip_layer import (fused_ln_qkv,
+                                                          fused_proj_mlp)
+            cast = lambda a: a.astype(self.dtype)
+            xf = x.reshape(B * S, D).astype(self.dtype)
+            q, k, v = fused_ln_qkv(
+                xf,
+                cast(self.q_proj.kernel), cast(self.q_proj.bias),
+                cast(self.k_proj.kernel), cast(self.k_proj.bias),
+                cast(self.v_proj.kernel), cast(self.v_proj.bias),
+                self.ln_1.scale, self.ln_1.bias, scale=float(scale))
+            att = self._attention_core(q.reshape(B, S, D),
+                                       k.reshape(B, S, D),
+                                       v.reshape(B, S, D), causal_mask)
+            out = fused_proj_mlp(
+                att.reshape(B * S, D), xf,
+                cast(self.out_proj.kernel), cast(self.out_proj.bias),
+                cast(self.fc1.kernel), cast(self.fc1.bias),
+                cast(self.fc2.kernel), cast(self.fc2.bias),
+                self.ln_2.scale, self.ln_2.bias)
+            return out.reshape(B, S, D)
+        y = self.ln_1(x)
+        att = self._attention_core(self.q_proj(y) * scale, self.k_proj(y),
+                                   self.v_proj(y), causal_mask)
+        x = x + self.out_proj(att)
+        return x + self.fc2(quick_gelu(self.fc1(self.ln_2(x))))
 
 
 class CLIPTextTower(nn.Module):

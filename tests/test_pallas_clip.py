@@ -1,0 +1,90 @@
+"""Fused CLIP-layer Pallas kernels (ops/pallas_clip_layer.py): correctness
+vs the plain XLA path, in interpret mode on CPU (the real-hardware route is
+exercised by bench/TPU runs, where CLIPTextLayer dispatches here)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from ladiff_tpu.models.clip_text import CLIPTextLayer
+from ladiff_tpu.ops import pallas_common
+
+
+def _interp(monkeypatch):
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+
+
+def _ln_np(x, s, b):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + 1e-5) * s + b
+
+
+def test_fused_ln_qkv_matches_plain(monkeypatch):
+    from ladiff_tpu.ops.pallas_clip_layer import fused_ln_qkv
+
+    _interp(monkeypatch)
+    rng = np.random.RandomState(0)
+    M, D = 24, 128
+    x = rng.randn(M, D).astype(np.float32)
+    ws = [rng.randn(D, D).astype(np.float32) * 0.05 for _ in range(3)]
+    bs = [rng.randn(D).astype(np.float32) * 0.1 for _ in range(3)]
+    lns = rng.randn(D).astype(np.float32) * 0.2 + 1.0
+    lnb = rng.randn(D).astype(np.float32) * 0.1
+    scale = 0.176776
+    q, k, v = fused_ln_qkv(jnp.asarray(x), ws[0], bs[0], ws[1], bs[1],
+                           ws[2], bs[2], lns, lnb, scale=scale)
+    y = _ln_np(x, lns, lnb)
+    np.testing.assert_allclose(np.asarray(q), (y @ ws[0] + bs[0]) * scale,
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(k), y @ ws[1] + bs[1],
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), y @ ws[2] + bs[2],
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_fused_proj_mlp_matches_plain(monkeypatch):
+    from ladiff_tpu.ops.pallas_clip_layer import fused_proj_mlp
+
+    _interp(monkeypatch)
+    rng = np.random.RandomState(1)
+    M, D, F = 16, 128, 512
+    att = rng.randn(M, D).astype(np.float32)
+    x = rng.randn(M, D).astype(np.float32)
+    wo = rng.randn(D, D).astype(np.float32) * 0.05
+    bo = rng.randn(D).astype(np.float32) * 0.1
+    w1 = rng.randn(D, F).astype(np.float32) * 0.05
+    b1 = rng.randn(F).astype(np.float32) * 0.1
+    w2 = rng.randn(F, D).astype(np.float32) * 0.05
+    b2 = rng.randn(D).astype(np.float32) * 0.1
+    lns = rng.randn(D).astype(np.float32) * 0.2 + 1.0
+    lnb = rng.randn(D).astype(np.float32) * 0.1
+    got = np.asarray(fused_proj_mlp(att, x, wo, bo, w1, b1, w2, b2,
+                                    lns, lnb))
+    h = x + att @ wo + bo
+    y = _ln_np(h, lns, lnb) @ w1 + b1
+    y = y / (1.0 + np.exp(-1.702 * y))       # quick-GELU
+    want = h + y @ w2 + b2
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_clip_layer_fused_path_matches_plain(monkeypatch):
+    """Whole-layer equivalence: the fused dispatch (forced on, interpret
+    mode) must reproduce the plain XLA CLIP layer."""
+    rng = np.random.RandomState(2)
+    B, S, D, H = 2, 8, 128, 4
+    x = jnp.asarray(rng.randn(B, S, D).astype(np.float32))
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    layer = CLIPTextLayer(width=D, heads=H)
+    params = layer.init(jax.random.PRNGKey(0), x, causal)
+    want = np.asarray(layer.apply(params, x, causal))   # CPU -> plain path
+
+    _interp(monkeypatch)
+    monkeypatch.setattr(pallas_common, "pallas_enabled", lambda: True)
+    got = np.asarray(layer.apply(params, x, causal))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
