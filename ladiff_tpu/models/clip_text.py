@@ -89,9 +89,14 @@ class CLIPTextLayer(nn.Module):
         # activation stream better than the weight-stationary row pipeline;
         # PERF.md round-5 A/B).  LADIFF_CLIP_FUSE_S overrides the
         # crossover for re-measurement (trace-time, like LADIFF_MD_BLOCK).
+        # Half-precision only: fused_proj_mlp keeps out_proj+fc1+fc2
+        # VMEM-resident — 10.6 MB at bf16 width 768, but 21 MB at f32,
+        # which is a hard Mosaic scoped-vmem OOM (>16 MB); the f32 tower
+        # (HF-parity eval/demo default) stays on plain XLA.
         fuse_max_s = int(os.environ.get("LADIFF_CLIP_FUSE_S", "32"))
         if (pallas_enabled() and not self.is_initializing()
-                and D % 128 == 0 and S <= fuse_max_s):
+                and D % 128 == 0 and S <= fuse_max_s
+                and jnp.dtype(self.dtype).itemsize == 2):
             from ladiff_tpu.ops.pallas_clip_layer import (fused_ln_qkv,
                                                           fused_proj_mlp)
             cast = lambda a: a.astype(self.dtype)

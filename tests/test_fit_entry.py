@@ -38,7 +38,16 @@ def smpl_pkl(tmp_path):
 
 
 def _run_fit(monkeypatch, argv):
-    import fit
+    # Load OUR fit.py by explicit path: a bare `import fit` resolves to the
+    # reference's src/fit.py when a parity test earlier in the suite has
+    # prepended /root/reference/src to sys.path (order-dependent failure
+    # seen in the first full round-5 run).
+    import importlib.util
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_ladiff_fit_entry", os.path.join(repo, "fit.py"))
+    fit = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fit)
     monkeypatch.setattr(sys, "argv", ["fit.py"] + argv)
     fit.main()
 

@@ -75,16 +75,36 @@ def test_fused_proj_mlp_matches_plain(monkeypatch):
 
 def test_clip_layer_fused_path_matches_plain(monkeypatch):
     """Whole-layer equivalence: the fused dispatch (forced on, interpret
-    mode) must reproduce the plain XLA CLIP layer."""
+    mode) must reproduce the plain XLA CLIP layer.  bf16, because the
+    dispatch gates on half precision (the f32 tower's VMEM-resident MLP
+    weights would exceed the 16 MB scoped-vmem budget on hardware)."""
     rng = np.random.RandomState(2)
     B, S, D, H = 2, 8, 128, 4
-    x = jnp.asarray(rng.randn(B, S, D).astype(np.float32))
+    x = jnp.asarray(rng.randn(B, S, D).astype(np.float32)).astype(jnp.bfloat16)
     causal = jnp.tril(jnp.ones((S, S), bool))
-    layer = CLIPTextLayer(width=D, heads=H)
+    layer = CLIPTextLayer(width=D, heads=H, dtype=jnp.bfloat16)
     params = layer.init(jax.random.PRNGKey(0), x, causal)
-    want = np.asarray(layer.apply(params, x, causal))   # CPU -> plain path
+    want = np.asarray(layer.apply(params, x, causal), np.float32)  # plain
 
     _interp(monkeypatch)
     monkeypatch.setattr(pallas_common, "pallas_enabled", lambda: True)
-    got = np.asarray(layer.apply(params, x, causal))
-    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+    got = np.asarray(layer.apply(params, x, causal), np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=2e-2)
+
+
+def test_clip_layer_f32_stays_plain(monkeypatch):
+    """The f32 tower must NOT dispatch to the fused kernels even with the
+    backend gate forced on (21 MB resident weights at width 768 is a hard
+    Mosaic scoped-vmem OOM on hardware) — guard the dtype gate."""
+    rng = np.random.RandomState(3)
+    B, S, D, H = 2, 8, 128, 4
+    x = jnp.asarray(rng.randn(B, S, D).astype(np.float32))
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    layer = CLIPTextLayer(width=D, heads=H)      # dtype f32
+    params = layer.init(jax.random.PRNGKey(0), x, causal)
+    monkeypatch.setattr(pallas_common, "pallas_enabled", lambda: True)
+
+    def boom(*a, **k):                           # fused path would call this
+        raise AssertionError("f32 tower dispatched to pallas")
+    monkeypatch.setattr(pl, "pallas_call", boom)
+    layer.apply(params, x, causal)               # must stay on plain XLA
