@@ -164,6 +164,15 @@ def main(argv=None):
         ap.error("--tiny is a --dry-run companion (it overrides the model "
                  "architecture); combine it with --dry-run or drop it")
 
+    # Honor a caller's JAX_PLATFORMS request (e.g. the dry-run tests set
+    # "cpu").  The env var alone is NOT enough under the axon relay — its
+    # sitecustomize overrides env platform selection at import — so apply
+    # it through jax.config, which wins after import (CLAUDE.md traps).
+    want_platform = os.environ.get("JAX_PLATFORMS")
+    if want_platform:
+        import jax
+        jax.config.update("jax_platforms", want_platform)
+
     from ladiff_tpu.utils.jax_cache import enable as _enable
     _enable()
 

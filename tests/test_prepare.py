@@ -129,7 +129,7 @@ def test_verify_release_dry_run(tmp_path):
         [sys.executable, os.path.join(REPO, "scripts", "verify_release.py"),
          "--dry-run", "--tiny", "--expected", str(exp_file),
          "--folder", str(tmp_path / "experiments")],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=2400)
     out = proc.stdout + proc.stderr
     assert "==== benchmark ====" in out, out[-2000:]
     assert "==== vs expected ====" in out, out[-2000:]
@@ -155,7 +155,7 @@ def test_verify_release_dry_run_kit(tmp_path):
          "--cfg", os.path.join(REPO, "configs", "config_ladiff_kit.yaml"),
          "--dry-run", "--tiny", "--expected", str(exp_file),
          "--folder", str(tmp_path / "experiments")],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=2400)
     out = proc.stdout + proc.stderr
     assert "KIT" in out, out[-2000:]          # KIT rows in the deps audit
     assert "Comp_v6_KLD005" in out, out[-2000:]
