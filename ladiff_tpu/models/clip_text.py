@@ -93,9 +93,14 @@ class CLIPTextLayer(nn.Module):
         # VMEM-resident — 10.6 MB at bf16 width 768, but 21 MB at f32,
         # which is a hard Mosaic scoped-vmem OOM (>16 MB); the f32 tower
         # (HF-parity eval/demo default) stays on plain XLA.
-        fuse_max_s = int(os.environ.get("LADIFF_CLIP_FUSE_S", "32"))
+        # (B*S) % 16 guards Mosaic's bf16 (16, 128) min-tile rule for the
+        # row blocks: a non-multiple (possible via the public ``buckets``
+        # ctor knob, e.g. bucket 12 at B=1) falls back to plain XLA
+        # instead of failing at lowering.
+        fuse_max_s = int(os.environ.get("LADIFF_CLIP_FUSE_S") or 32)
         if (pallas_enabled() and not self.is_initializing()
                 and D % 128 == 0 and S <= fuse_max_s
+                and (B * S) % 16 == 0
                 and jnp.dtype(self.dtype).itemsize == 2):
             from ladiff_tpu.ops.pallas_clip_layer import (fused_ln_qkv,
                                                           fused_proj_mlp)

@@ -42,7 +42,7 @@ def _env_block(default: int) -> int:
     """LADIFF_CLIP_BLOCK overrides the proj+MLP kernel's row block
     (trace-time, same precedent as LADIFF_MD_BLOCK's sampler sweep)."""
     import os
-    return int(os.environ.get("LADIFF_CLIP_BLOCK", default))
+    return int(os.environ.get("LADIFF_CLIP_BLOCK") or default)
 
 
 def _qkv_kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,

@@ -57,9 +57,25 @@ from ladiff_tpu.ops.pallas_common import no_pallas
 
 __all__ = ["PIPE_AXIS", "make_pipe_mesh", "stack_stage_params",
            "pipeline_encoder_forward", "make_pipeline_encoder",
-           "make_pp_diffusion_train_step"]
+           "make_pp_diffusion_train_step", "denoiser_encoder_hp"]
 
 PIPE_AXIS = "pipe"
+
+
+def denoiser_encoder_hp(den, num_layers=None):
+    """Hyperparameter twin of the denoiser's MD skip encoder.
+
+    An UNBOUND ``MDSkipTransformerEncoder`` constructed with the same
+    fields ``denoiser.setup`` uses (models/denoiser.py, the md_trans
+    branch), so staged pipeline programs apply the CANONICAL param tree.
+    Single home on purpose: the train-step factory, ``__graft_entry__``'s
+    dryrun, and tests/test_pp.py all need this twin, and a hand-copied
+    construction in each would drift the first time ``setup`` changes."""
+    from ladiff_tpu.ops.stylization import MDSkipTransformerEncoder
+    return MDSkipTransformerEncoder(
+        den.d_model, den.d_model, den.num_heads,
+        den.num_layers if num_layers is None else num_layers,
+        den.ff_size, den.dropout, dtype=den.dtype)
 
 
 def make_pipe_mesh(n_pipe: int, devices=None) -> Mesh:
@@ -284,8 +300,6 @@ def make_pp_diffusion_train_step(system, mesh: Mesh, vae_params, uncond_emb,
 
     from ladiff_tpu.ops.pp_hook import pp_encoder_override
 
-    from ladiff_tpu.ops.stylization import MDSkipTransformerEncoder
-
     S = mesh.shape[PIPE_AXIS]
     L = system.denoiser_num_layers or system.num_layers
     assert L % S == 0, (
@@ -296,10 +310,7 @@ def make_pp_diffusion_train_step(system, mesh: Mesh, vae_params, uncond_emb,
     # pre-build the stage modules HERE, outside any flax scope: the
     # override fires inside the denoiser's __call__, where flax forbids
     # module construction (_make_modules docstring)
-    den = system.denoiser
-    enc_hp = MDSkipTransformerEncoder(
-        den.d_model, den.d_model, den.num_heads, L, den.ff_size,
-        den.dropout, dtype=den.dtype)
+    enc_hp = denoiser_encoder_hp(system.denoiser, L)
     modules = _make_modules(enc_hp)
 
     def override(enc_bound, x, xf, emb, latent_valid):

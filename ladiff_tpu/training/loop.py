@@ -282,6 +282,13 @@ def run_training(cfg, dm: T2MDataModule, logger,
     # TRAIN.PIPELINE_MICROBATCHES sets the microbatch count (default =
     # stages; bubble (S-1)/(n_micro+S-1))
     n_pipe = int(cfg.TRAIN.get("PIPELINE_STAGES", 1) or 1)
+    for name, n in (("SEQUENCE_PARALLEL", n_seq),
+                    ("PIPELINE_STAGES", n_pipe)):
+        if n < 1:
+            # same contract as the TENSOR_PARALLEL check above: a
+            # nonsensical width fails at the config line instead of
+            # silently training plain DP
+            raise ValueError(f"TRAIN.{name}={n} must be >= 1")
     axes_on = [name for name, on in [
         ("TENSOR_PARALLEL", n_model > 1), ("FSDP", fsdp),
         ("SEQUENCE_PARALLEL", n_seq > 1), ("PIPELINE_STAGES", n_pipe > 1)]
@@ -295,7 +302,7 @@ def run_training(cfg, dm: T2MDataModule, logger,
             raise ValueError(
                 "TRAIN.SEQUENCE_PARALLEL shards the VAE token axis; it is "
                 f"supported for TRAIN.STAGE=vae only (got {stage!r})")
-        if n_seq < 1 or n_avail % n_seq != 0:
+        if n_avail % n_seq != 0:
             raise ValueError(
                 f"TRAIN.SEQUENCE_PARALLEL={n_seq} must divide the device "
                 f"count ({n_avail})")

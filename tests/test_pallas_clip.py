@@ -108,3 +108,39 @@ def test_clip_layer_f32_stays_plain(monkeypatch):
         raise AssertionError("f32 tower dispatched to pallas")
     monkeypatch.setattr(pl, "pallas_call", boom)
     layer.apply(params, x, causal)               # must stay on plain XLA
+
+
+def test_short_bucket_nonaligned_rows_stay_plain(monkeypatch):
+    """A custom bucket whose B*S rows break the bf16 16-row tile rule
+    (public ``buckets`` ctor knob, e.g. width 12 at B=1) must fall back
+    to plain XLA instead of crashing at Mosaic lowering."""
+    rng = np.random.RandomState(4)
+    B, S, D, H = 1, 12, 128, 4
+    x = jnp.asarray(rng.randn(B, S, D).astype(np.float32)).astype(jnp.bfloat16)
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    layer = CLIPTextLayer(width=D, heads=H, dtype=jnp.bfloat16)
+    params = layer.init(jax.random.PRNGKey(0), x, causal)
+    monkeypatch.setattr(pallas_common, "pallas_enabled", lambda: True)
+
+    def boom(*a, **k):
+        raise AssertionError("non-16-aligned rows dispatched to pallas")
+    monkeypatch.setattr(pl, "pallas_call", boom)
+    layer.apply(params, x, causal)               # must stay on plain XLA
+
+
+def test_align_block_samples_warning_scope():
+    """Warn only when the aligned block exceeds the caller's configured
+    block (an oversized override) — NOT on the routine small-batch clamp
+    (B=3 -> 8 rows), which is bounded by the 8-row floor."""
+    import warnings
+    from ladiff_tpu.ops.pallas_common import align_block_samples
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")           # silent cases must not warn
+        assert align_block_samples(32, 3, 7) == 8     # small-batch clamp
+        assert align_block_samples(32, 256, 7) == 32  # exact fit
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = align_block_samples(33, 256, 7)         # odd override: 33 -> 40
+        assert got == 40 and len(w) == 1
+        assert "bumped" in str(w[0].message)

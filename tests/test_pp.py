@@ -152,10 +152,8 @@ def test_pp_train_grads_match_plain_diffusion_forward():
     uncond = jnp.zeros((1, 1, 48))
     rng = jax.random.PRNGKey(3)
     mesh = make_pipe_mesh(3)
-    den = system.denoiser
-    enc_hp = MDSkipTransformerEncoder(
-        den.d_model, den.d_model, den.num_heads, den.num_layers,
-        den.ff_size, den.dropout, dtype=den.dtype)
+    from ladiff_tpu.parallel.pp import denoiser_encoder_hp
+    enc_hp = denoiser_encoder_hp(system.denoiser)
     modules = _make_modules(enc_hp)  # outside the flax scope, like the factory
 
     def loss_plain(p):
